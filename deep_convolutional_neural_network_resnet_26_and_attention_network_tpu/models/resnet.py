@@ -1,0 +1,99 @@
+"""ResNet-26 per-tile feature extractor (TPU-native, NHWC, functional).
+
+Capability parity with the reference's narrow, normalization-free ResNet
+(reference: gbm/model.py:14-61 and nnBlocks.py:157-189):
+
+  * stem: conv 7x7 stride 2 pad 3 (bias), LeakyReLU(0.1), maxpool 3x3 s2 p1
+  * four stages of widths 20/40/60/80, each 3 BasicResBlocks
+    (conv3x3 -> lrelu -> conv3x3 -> +shortcut -> lrelu, bias=True, no norm;
+     1x1 stride-s conv shortcut, bias=False, when shape changes)
+  * global average pool -> Linear(80 -> embed_dim, bias=False)
+
+Total weighted layers: 1 stem + 24 block convs + 1 fc = 26.
+
+TPU-first choices: NHWC layout throughout, bf16 conv compute with fp32
+accumulation (``compute_dtype``), a flat list-of-stages parameter pytree
+that vmaps/shards cleanly over the tile axis.
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import init as I
+from ..ops import nn as N
+
+WIDTHS = (20, 40, 60, 80)
+BLOCKS_PER_STAGE = (3, 3, 3, 3)
+EMBED_DIM = 80
+
+
+def init_block(key, cin, cout, stride):
+    """Parameters for one BasicResBlock."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "conv1": {"w": I.conv_kernel(k1, 3, 3, cin, cout), "b": I.zeros((cout,))},
+        "conv2": {"w": I.conv_kernel(k2, 3, 3, cout, cout), "b": I.zeros((cout,))},
+    }
+    if stride != 1 or cin != cout:
+        p["downsample"] = {"w": I.conv_kernel(k3, 1, 1, cin, cout)}
+    return p
+
+
+def apply_block(p, x, stride, *, compute_dtype=None):
+    out = N.conv2d(x, p["conv1"]["w"], p["conv1"]["b"], stride=stride,
+                   padding=1, compute_dtype=compute_dtype)
+    out = N.leaky_relu(out)
+    out = N.conv2d(out, p["conv2"]["w"], p["conv2"]["b"], stride=1,
+                   padding=1, compute_dtype=compute_dtype)
+    if "downsample" in p:
+        identity = N.conv2d(x, p["downsample"]["w"], stride=stride,
+                            padding=0, compute_dtype=compute_dtype)
+    else:
+        identity = x
+    return N.leaky_relu(out + identity)
+
+
+def init_resnet26(key, *, embed_dim: int = EMBED_DIM,
+                  widths: Sequence[int] = WIDTHS,
+                  blocks: Sequence[int] = BLOCKS_PER_STAGE):
+    """Initialize the full parameter pytree."""
+    keys = jax.random.split(key, 2 + sum(blocks))
+    params = {
+        "conv1": {"w": I.conv_kernel(keys[0], 7, 7, 3, widths[0]),
+                  "b": I.zeros((widths[0],))},
+        "stages": [],
+        # fc has no bias (reference: gbm/model.py:32); kaiming fan_in lrelu
+        "fc": {"w": I.linear_kaiming_fan_in(keys[1], widths[-1], embed_dim,
+                                            I.leaky_relu_gain(0.1))},
+    }
+    ki = 2
+    cin = widths[0]
+    for stage_idx, (width, n_blocks) in enumerate(zip(widths, blocks)):
+        stage = []
+        for b in range(n_blocks):
+            stride = 2 if (stage_idx > 0 and b == 0) else 1
+            stage.append(init_block(keys[ki], cin, width, stride))
+            ki += 1
+            cin = width
+        params["stages"].append(stage)
+    return params
+
+
+def apply_resnet26(params, x, *, compute_dtype=None):
+    """Forward: x [N, H, W, 3] -> embeddings [N, embed_dim] (float32)."""
+    h = N.conv2d(x, params["conv1"]["w"], params["conv1"]["b"], stride=2,
+                 padding=3, compute_dtype=compute_dtype)
+    h = N.leaky_relu(h)
+    h = N.max_pool(h, window=3, stride=2, padding=1)
+    for stage_idx, stage in enumerate(params["stages"]):
+        for b, block in enumerate(stage):
+            stride = 2 if (stage_idx > 0 and b == 0) else 1
+            h = apply_block(block, h, stride, compute_dtype=compute_dtype)
+    h = N.global_avg_pool(h)
+    return N.linear(h, params["fc"]["w"], compute_dtype=compute_dtype)
+
+
+def num_params(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

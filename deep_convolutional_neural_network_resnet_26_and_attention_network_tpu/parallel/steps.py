@@ -1,0 +1,121 @@
+"""Jitted, shardable train / eval steps for the attention-MIL model.
+
+Semantics mirror the reference training loop (reference:
+gbm/classify_combined.py:388-485): Adam(betas=(0.9, 0.999)), gradient
+accumulation over ``accum`` slides before each optimizer step (reference
+uses 5), staged learning rate passed in per call. Accumulating grads over B
+bags then stepping once is exactly ``grad(sum of the B per-bag losses)``,
+so here the B bags are a *batched* axis — vmapped, and shardable over the
+"slides" mesh axis — instead of a sequential Python loop.
+
+Each bag's tile axis may additionally shard over the "tiles" mesh axis; the
+model's tile reductions then lower to ICI collectives via GSPMD. No manual
+psum appears here — the shardings on the inputs are the whole distribution
+strategy.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import attention_mil as amil
+from . import mesh as M
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray  # int32 optimizer-step counter
+
+
+def make_optimizer():
+    """Adam matching torch.optim.Adam(betas=(0.9,0.999), eps=1e-8); the
+    learning rate is applied separately so the staged schedule can feed it
+    per-call without retracing."""
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_train_state(params, tx=None) -> TrainState:
+    tx = tx or make_optimizer()
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def batched_forward(params, tiles, masks, labels, cfg, *, train, rng=None,
+                    compute_dtype=None):
+    """vmapped bag forward: tiles [B,T,H,W,3], masks [B,T], labels [B]."""
+    B = tiles.shape[0]
+    if train:
+        keys = jax.random.split(rng, B)
+    else:
+        keys = jnp.zeros((B, 2), jnp.uint32)  # unused
+
+    def per_bag(bag, mask, label, key):
+        return amil.apply_attention_mil(
+            params, bag, label, cfg, mask=mask,
+            train=train, rng=key if train else None,
+            compute_dtype=compute_dtype)
+
+    return jax.vmap(per_bag)(tiles, masks, labels, keys)
+
+
+def make_train_step(cfg: amil.MILConfig, tx=None, *, compute_dtype=None,
+                    donate: bool = True):
+    """Returns jitted step(state, tiles, masks, labels, lr, rng) -> (state, metrics).
+
+    The batch dimension B plays the role of the reference's 5-slide gradient
+    accumulation window: loss = sum of per-bag CE, one Adam step.
+    """
+    tx = tx or make_optimizer()
+
+    def step(state: TrainState, tiles, masks, labels, lr, rng):
+        def loss_fn(params):
+            outs = batched_forward(params, tiles, masks, labels, cfg,
+                                   train=True, rng=rng,
+                                   compute_dtype=compute_dtype)
+            return outs["loss"].sum(), outs
+
+        (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": outs["loss"].mean(),
+            "error": outs["error"].mean(),
+            "Aterm_mu": outs["Aterm_mu"].mean(),
+            "Aterm_var": outs["Aterm_var"].mean(),
+            "KLD": outs["KLD"].mean(),
+            "l2": outs["l2"].mean(),
+            "y_pred": outs["y_pred"],
+            "y_pred_hat": outs["y_pred_hat"],
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: amil.MILConfig, *, compute_dtype=None):
+    """Returns jitted eval(params, tiles, masks, labels) -> per-bag outputs."""
+
+    def step(params, tiles, masks, labels):
+        outs = batched_forward(params, tiles, masks, labels, cfg,
+                               train=False, compute_dtype=compute_dtype)
+        outs.pop("Fterm", None)  # large; fetch via heatmap path when needed
+        return outs
+
+    return jax.jit(step)
+
+
+def shard_batch(mesh, tiles, masks, labels):
+    """device_put a batch with (slides, tiles) shardings."""
+    tiles = jax.device_put(tiles, M.bag_batch_sharding(mesh))
+    masks = jax.device_put(masks, M.mask_sharding(mesh))
+    labels = jax.device_put(labels, M.label_sharding(mesh))
+    return tiles, masks, labels
+
+
+def replicate_state(mesh, state: TrainState) -> TrainState:
+    rep = M.replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

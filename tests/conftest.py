@@ -1,0 +1,23 @@
+"""Test environment: force the CPU backend with 8 virtual devices so
+sharding tests exercise a real multi-device mesh without TPU hardware.
+
+The XLA flag must be in the environment before the backend initializes;
+the platform override must go through jax.config because the surrounding
+environment pre-pins ``jax_platforms`` at import time.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

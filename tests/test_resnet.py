@@ -1,0 +1,92 @@
+"""ResNet-26 extractor: shapes, architecture, and PyTorch numerical parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gbmnet  # noqa: F401  (alias bootstrap)
+from gbmnet.models import resnet
+
+
+def test_output_shape_and_dtype():
+    params = resnet.init_resnet26(jax.random.PRNGKey(0))
+    x = jnp.zeros((4, 300, 300, 3))
+    out = resnet.apply_resnet26(params, x)
+    assert out.shape == (4, 80)
+    assert out.dtype == jnp.float32
+
+
+def test_26_weighted_layers():
+    params = resnet.init_resnet26(jax.random.PRNGKey(0))
+    n_convs = 1  # stem
+    for stage in params["stages"]:
+        for block in stage:
+            n_convs += 2  # conv1, conv2 (downsample 1x1 is a shortcut, not
+            # counted in the reference's "26-layer" naming)
+    assert n_convs + 1 == 26  # + fc
+
+
+def test_stage_widths():
+    params = resnet.init_resnet26(jax.random.PRNGKey(0))
+    widths = [stage[-1]["conv2"]["w"].shape[-1] for stage in params["stages"]]
+    assert widths == [20, 40, 60, 80]
+    # downsample shortcuts only where stride/width changes: stages 2-4 block 0
+    assert "downsample" not in params["stages"][0][0]
+    for s in (1, 2, 3):
+        assert "downsample" in params["stages"][s][0]
+        assert "downsample" not in params["stages"][s][1]
+
+
+def test_small_input_shapes():
+    params = resnet.init_resnet26(jax.random.PRNGKey(1))
+    for hw in (64, 128):
+        out = resnet.apply_resnet26(params, jnp.zeros((2, hw, hw, 3)))
+        assert out.shape == (2, 80)
+
+
+def test_init_statistics():
+    """Conv kernels should match kaiming fan_out std for leaky_relu(0.1)."""
+    params = resnet.init_resnet26(jax.random.PRNGKey(2))
+    w = params["stages"][3][0]["conv1"]["w"]  # 3x3x60x80
+    fan_out = 80 * 9
+    expected_std = np.sqrt(2.0 / (1.0 + 0.01)) / np.sqrt(fan_out)
+    assert abs(float(w.std()) - expected_std) / expected_std < 0.05
+    assert float(jnp.abs(params["conv1"]["b"]).max()) == 0.0
+
+
+def _torch_forward(params, x_nhwc):
+    """Independent PyTorch re-execution of the same architecture from the
+    JAX parameter pytree, used as a numerical oracle."""
+    torch = pytest.importorskip("torch")
+    F = torch.nn.functional
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    def conv(x, p, stride, padding, bias=True):
+        w = t(p["w"]).permute(3, 2, 0, 1)  # HWIO -> OIHW
+        b = t(p["b"]) if bias and "b" in p else None
+        return F.conv2d(x, w, b, stride=stride, padding=padding)
+
+    x = t(x_nhwc).permute(0, 3, 1, 2)
+    x = F.leaky_relu(conv(x, params["conv1"], 2, 3), 0.1)
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    for si, stage in enumerate(params["stages"]):
+        for bi, blk in enumerate(stage):
+            stride = 2 if (si > 0 and bi == 0) else 1
+            out = F.leaky_relu(conv(x, blk["conv1"], stride, 1), 0.1)
+            out = conv(out, blk["conv2"], 1, 1)
+            if "downsample" in blk:
+                x = conv(x, blk["downsample"], stride, 0, bias=False)
+            x = F.leaky_relu(out + x, 0.1)
+    x = x.mean(dim=(2, 3))
+    return (x @ t(params["fc"]["w"])).numpy()
+
+
+def test_torch_parity():
+    params = resnet.init_resnet26(jax.random.PRNGKey(3))
+    x = np.random.RandomState(0).rand(2, 96, 96, 3).astype(np.float32)
+    ours = np.asarray(resnet.apply_resnet26(params, jnp.asarray(x)))
+    theirs = _torch_forward(jax.tree_util.tree_map(np.asarray, params), x)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)

@@ -1,0 +1,72 @@
+"""Multi-device mesh execution: sharded eval/train must match single-device
+numerics (the GSPMD replacement for the reference's nn.DataParallel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gbmnet  # noqa: F401
+from gbmnet.models import attention_mil as amil
+from gbmnet.parallel import mesh as M
+from gbmnet.parallel import steps
+
+
+@pytest.fixture(scope="module")
+def world():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    cfg = amil.MILConfig()
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    tiles = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 32, 32, 3))
+    masks = jnp.ones((2, 8)).at[1, 6:].set(0.0)
+    labels = jnp.array([0, 2])
+    return cfg, params, tiles, masks, labels
+
+
+def test_mesh_shape():
+    m = M.make_mesh(8)
+    assert m.devices.shape == (2, 4)
+    assert m.axis_names == (M.SLIDES_AXIS, M.TILES_AXIS)
+    m1 = M.make_mesh(1)
+    assert m1.devices.shape == (1, 1)
+
+
+def test_sharded_eval_matches_single_device(world):
+    cfg, params, tiles, masks, labels = world
+    ev = steps.make_eval_step(cfg)
+    ref = ev(params, tiles, masks, labels)
+
+    mesh = M.make_mesh(8)
+    s_tiles, s_masks, s_labels = steps.shard_batch(mesh, tiles, masks, labels)
+    sharded = ev(params, s_tiles, s_masks, s_labels)
+
+    np.testing.assert_allclose(np.asarray(sharded["y_pred"]),
+                               np.asarray(ref["y_pred"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded["loss"]),
+                               np.asarray(ref["loss"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded["Aterm"]),
+                               np.asarray(ref["Aterm"]), atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device(world):
+    cfg, params, tiles, masks, labels = world
+    step = steps.make_train_step(cfg, donate=False)
+    rng = jax.random.PRNGKey(42)
+    lr = jnp.float32(2e-4)
+
+    st0 = steps.init_train_state(params)
+    ref_state, ref_metrics = step(st0, tiles, masks, labels, lr, rng)
+
+    mesh = M.make_mesh(8)
+    st1 = steps.replicate_state(mesh, steps.init_train_state(params))
+    s_tiles, s_masks, s_labels = steps.shard_batch(mesh, tiles, masks, labels)
+    sh_state, sh_metrics = step(st1, s_tiles, s_masks, s_labels, lr, rng)
+
+    np.testing.assert_allclose(float(sh_metrics["loss"]),
+                               float(ref_metrics["loss"]), atol=1e-5)
+    ref_w = np.asarray(ref_state.params["attention"]["lin1"]["w"])
+    sh_w = np.asarray(sh_state.params["attention"]["lin1"]["w"])
+    np.testing.assert_allclose(sh_w, ref_w, atol=1e-5)
+    cnn_ref = np.asarray(ref_state.params["cnn"]["conv1"]["w"])
+    cnn_sh = np.asarray(sh_state.params["cnn"]["conv1"]["w"])
+    np.testing.assert_allclose(cnn_sh, cnn_ref, atol=1e-5)
