@@ -1,0 +1,245 @@
+"""Slide-level bag dataset for the glioblastoma 3-class task.
+
+Mirrors the reference's GHPSingleBagDatasetSimple (reference:
+gbm/GlioblastomaDS.py:34-281): glob ``*H&E.scn`` slides labeled A/B/C=0/1/2
+through the k-means cluster spreadsheet, plus ``*.svs`` "super normals"
+forced to label 1; drop slides with fewer than 20 cached tiles; 6-fold
+KFold split with a randomized fold pick; persist the split as
+``training_validation_testing_data<timestamp>.json`` (same schema, so old
+split checkpoints restore here and vice versa).
+
+Differences from the reference (config, not behavior): the dataset roots,
+glob patterns, and spreadsheet path are constructor arguments instead of
+hardcoded ``/raid/...`` constants (reference: gbm/GlioblastomaDS.py:52-54),
+and bags come back as NHWC float32 device arrays.
+"""
+
+import glob
+import json
+import os
+import random as pyrandom
+from datetime import datetime
+
+import numpy as np
+from sklearn.model_selection import KFold
+from sklearn.utils import class_weight
+
+from . import accessors
+from .roibuilder import RoiBuilder
+
+CLUSTER_TO_OUTCOME = {"A": 0, "B": 1, "C": 2}
+MIN_TILES = 20  # reference: gbm/GlioblastomaDS.py:170,194
+
+
+class GHPSingleBagDatasetSimple:
+    """One item = one whole-slide bag of tiles + its slide-level label."""
+
+    def __init__(self, bag: bool = True, output_dir: str = ".",
+                 split: float = 0.90, *,
+                 root_dir: str = "/raid/GHP Immunohistochemistry/",
+                 image_dir: str = "All_HE_scans_GBM_AN",
+                 label_sheet: str | None = None,
+                 scn_glob: str = "*H&E.scn",
+                 svs_glob: str = "*.svs",
+                 ylabel: str = "Actual Cluster Designation",
+                 seed: int | None = None):
+        self.train_slide_builders, self.train_slide_outcomes = [], []
+        self.train_slide_path, self.train_slide_record = [], []
+        self.test_slide_builders, self.test_slide_outcomes = [], []
+        self.test_slide_path, self.test_slide_record = [], []
+        self.all_builders, self.all_slide_outcomes = [], []
+        self.all_slide_path, self.all_slide_record = [], []
+
+        self.ROOT_DIR = root_dir
+        self.PATH_IMG = image_dir
+        self.scn_glob = scn_glob
+        self.svs_glob = svs_glob
+        self.label_sheet = label_sheet or os.path.join(
+            root_dir, "PCA Clustering designation and thresholds.xlsx")
+        self.bagmode = bag
+        self.ylabel = ylabel
+        self.split = split
+        self.output_dir = output_dir
+        self.studyid = "gmb-id-nn"
+        self.mode = "train"
+        self._py_rng = pyrandom.Random(seed)
+        self._np_rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------
+    def _save_split(self):
+        d = {
+            "train_paths": self.train_slide_path,
+            "train_outcomes": self.train_slide_record,
+            "validation_paths": self.test_slide_path,
+            "validation_outcomes": self.test_slide_record,
+        }
+        stamp = datetime.now().strftime("%d-%b-%Y-%H-%M-%S")
+        path = os.path.join(
+            self.output_dir, f"training_validation_testing_data{stamp}.json")
+        with open(path, "w") as f:
+            json.dump(d, f, indent=4, sort_keys=True)
+        return path
+
+    def load_from_checkpoint(self, split_data_path: str):
+        """Restore a saved train/validation split
+        (reference: gbm/GlioblastomaDS.py:61-117)."""
+        with open(split_data_path) as f:
+            d = json.load(f)
+        for file, out in zip(d["train_paths"], d["train_outcomes"]):
+            params = {
+                "caMIC_eligable": -1, "camic_id": "000",
+                "studyid": "checkpoint-training",
+                "pxname": os.path.split(file)[1].split(" ")[0].split("-")[0],
+                "outcome_item": out, "outcome_tensor": np.asarray([out]),
+            }
+            b = RoiBuilder(file, params=params)
+            self.train_slide_builders.append(b)
+            self.train_slide_outcomes.append(np.asarray([out]))
+            self.train_slide_path.append(file)
+            self.train_slide_record.append(out)
+        for file, out in zip(d["validation_paths"], d["validation_outcomes"]):
+            params = {
+                "caMIC_eligable": -1, "camic_id": "000",
+                "studyid": "checkpoint-validation",
+                "pxname": os.path.split(file)[1].split(" ")[0].split("-")[0],
+                "outcome_item": out, "outcome_tensor": np.asarray([out]),
+            }
+            b = RoiBuilder(file, params=params)
+            self.test_slide_builders.append(b)
+            self.test_slide_outcomes.append(np.asarray([out]))
+            self.test_slide_path.append(file)
+            self.test_slide_record.append(out)
+        self._save_split()
+
+    def GetClassWeights(self):
+        """sklearn 'balanced' class weights over the training labels
+        (reference: gbm/GlioblastomaDS.py:119-120)."""
+        return np.asarray(class_weight.compute_class_weight(
+            class_weight="balanced",
+            classes=np.unique(self.train_slide_record),
+            y=self.train_slide_record), np.float32)
+
+    # ------------------------------------------------------------------
+    def _label_for_scn(self, file: str) -> int:
+        base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+        identifiers = accessors.split_GHP_convention(
+            base_idx, dtypes=[str, int, str])
+        outcome = -9
+        if "Cluster" in self.ylabel:
+            clus = accessors.getClusterIndex(
+                identifiers, self.ylabel, filename=self.label_sheet,
+                dtypes=[str, int, str])
+            outcome = CLUSTER_TO_OUTCOME.get(clus, -9)
+        return outcome
+
+    def _add_builder(self, file: str, outcome: int, pxname: str):
+        base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+        params = {
+            "caMIC_eligable": -1,
+            "caMIC_image_name": base_idx.replace("_H&E", "_HandE"),
+            "caMIC_base_name": base_idx.replace("_H&E", "_HandE").split(".")[0],
+            "caMIC_id_name": base_idx.replace("_H&E", "").split(".")[0],
+            "caMIC_study": "gbm-classif-nn",
+            "caMIC_pxname": pxname,
+            "outcome_item": outcome,
+            "outcome_tensor": np.asarray([outcome]),
+        }
+        builder = RoiBuilder(file, params=params)
+        if builder.getsize() < MIN_TILES:
+            return
+        self.all_builders.append(builder)
+        self.all_slide_outcomes.append(np.asarray([outcome]))
+        self.all_slide_path.append(file)
+        self.all_slide_record.append(outcome)
+
+    def load_new(self, n_folds: int = 6, n_fold_selection: int = 0):
+        """Discover slides, label them, and make a randomized KFold split
+        (reference: gbm/GlioblastomaDS.py:123-238)."""
+        for file in sorted(glob.glob(
+                os.path.join(self.ROOT_DIR, self.PATH_IMG, self.scn_glob))):
+            outcome = self._label_for_scn(file)
+            if outcome not in (0, 1, 2):
+                continue
+            base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+            ids = accessors.split_GHP_convention(base_idx, dtypes=[str, int, str])
+            self._add_builder(file, outcome, f"{ids[0]}_{ids[1]}_{ids[2]}")
+
+        for file in sorted(glob.glob(
+                os.path.join(self.ROOT_DIR, self.PATH_IMG, self.svs_glob))):
+            base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+            name = base_idx.replace("_H&E", "_HandE").split(".")[0]
+            self._add_builder(file, 1, f"SN_{name}")  # super-normals -> 1
+
+        folds = list(KFold(n_folds, shuffle=True,
+                           random_state=self._np_rng.integers(0, 2**31 - 1))
+                     .split(self.all_builders))
+        if n_fold_selection < n_folds:
+            # randomized fold pick among the middle folds
+            # (reference: gbm/GlioblastomaDS.py:202-205)
+            n_split = n_folds - 2
+            n_select = self._py_rng.randrange(n_split) + 1
+            train, test = folds[n_select]
+        else:
+            train = test = range(len(self.all_builders))
+
+        for idx in train:
+            self.train_slide_builders.append(self.all_builders[idx])
+            self.train_slide_outcomes.append(self.all_slide_outcomes[idx])
+            self.train_slide_path.append(self.all_slide_path[idx])
+            self.train_slide_record.append(self.all_slide_record[idx])
+        for idx in test:
+            self.test_slide_builders.append(self.all_builders[idx])
+            self.test_slide_outcomes.append(self.all_slide_outcomes[idx])
+            self.test_slide_path.append(self.all_slide_path[idx])
+            self.test_slide_record.append(self.all_slide_record[idx])
+        return self._save_split()
+
+    # ------------------------------------------------------------------
+    def NewResolution(self, image_size: int):
+        """Dispatch a new output resolution to every builder
+        (reference: gbm/GlioblastomaDS.py:240-246)."""
+        for roi in self.train_slide_builders:
+            roi.update_resolution_and_buffer(image_size)
+        for roi in self.test_slide_builders:
+            roi.update_resolution_and_buffer(image_size)
+        for roi in self.all_builders:
+            if "VALID" in roi.params["status"]:
+                roi.update_resolution_and_buffer(image_size)
+
+    def train(self):
+        self.mode = "train"
+
+    def build(self):
+        self.mode = "build"
+
+    def eval(self):
+        self.mode = "eval"
+
+    def interface(self):
+        self.mode = "interface"
+
+    def __len__(self):
+        if self.mode == "train":
+            return len(self.train_slide_builders)
+        if self.mode == "build":
+            return len(self.all_builders)
+        if self.mode == "eval":
+            return len(self.test_slide_builders)
+        if self.mode == "interface":
+            return len(self.all_builders)
+        raise ValueError(f"unknown mode {self.mode!r}")
+
+    def __getitem__(self, idx):
+        if self.mode == "train":
+            b = self.train_slide_builders[idx]
+            return b.get_train_data(), b.params["outcome_tensor"]
+        if self.mode == "build":
+            return self.all_builders[idx].build(), 0
+        if self.mode == "eval":
+            b = self.test_slide_builders[idx]
+            return b.get_validation_data(), b.params["outcome_tensor"]
+        if self.mode == "interface":
+            b = self.all_builders[idx]
+            stack, coords, img_data = b.get_inference_data()
+            return stack, b.params["outcome_tensor"], coords, b.params
+        raise ValueError(f"unknown mode {self.mode!r}")

@@ -1,0 +1,112 @@
+"""Bag loader: the DataLoader-worker replacement for TPU input pipelines.
+
+The reference feeds one ragged bag at a time through a multi-process torch
+DataLoader (``sample_data`` from the missing PyTorchHelpers module,
+reference call site: gbm/classify_combined.py:313,412; a local definition
+survives at gbm/classify.py:85-98). On TPU the equivalent is:
+
+  * pad each bag to a static bucket size (powers-of-two ladder) with a
+    validity mask, so jit compiles one program per bucket instead of one
+    per bag length;
+  * prefetch bags on a background thread so host decode/augment overlaps
+    device compute (double buffering);
+  * optionally round the bucket up to a multiple of the tile-mesh axis so
+    sharded bags split evenly over chips.
+
+The model threads the mask through every tile reduction, so padded
+execution is numerically identical to the ragged original.
+"""
+
+import queue
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 2560)
+
+
+def bucket_for(n: int, buckets=DEFAULT_BUCKETS, multiple_of: int = 1) -> int:
+    """Smallest bucket >= n (and a multiple of ``multiple_of``)."""
+    for b in buckets:
+        if b >= n and b % multiple_of == 0:
+            return b
+    top = buckets[-1]
+    if top % multiple_of:
+        top += multiple_of - top % multiple_of
+    return max(top, ((n + multiple_of - 1) // multiple_of) * multiple_of)
+
+
+def pad_bag(tiles, n_tiles: int | None = None, *, buckets=DEFAULT_BUCKETS,
+            multiple_of: int = 1):
+    """Pad [T, ...] to its bucket; returns (padded, mask[T_b])."""
+    t = tiles.shape[0]
+    target = bucket_for(t, buckets, multiple_of) if n_tiles is None else n_tiles
+    mask = jnp.zeros((target,), jnp.float32).at[:t].set(1.0)
+    if target > t:
+        pad = [(0, target - t)] + [(0, 0)] * (tiles.ndim - 1)
+        tiles = jnp.pad(tiles, pad)
+    return tiles, mask
+
+
+class BagPrefetcher:
+    """Iterate (tiles, mask, label[, extras]) bags with background prefetch.
+
+    dataset: anything indexable returning (tiles, label) or a longer tuple
+    (interface mode). Bags are padded to buckets here, on the producer
+    thread, so the consumer only sees ready-to-jit shapes.
+    """
+
+    def __init__(self, dataset, *, shuffle: bool = False, depth: int = 2,
+                 buckets=DEFAULT_BUCKETS, multiple_of: int = 1,
+                 seed: int | None = None):
+        self.dataset = dataset
+        self.shuffle = shuffle
+        self.depth = depth
+        self.buckets = buckets
+        self.multiple_of = multiple_of
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = object()
+
+        def produce():
+            try:
+                for idx in order:
+                    item = self.dataset[int(idx)]
+                    tiles, label = item[0], item[1]
+                    tiles, mask = pad_bag(jnp.asarray(tiles),
+                                          buckets=self.buckets,
+                                          multiple_of=self.multiple_of)
+                    label = int(np.asarray(label).reshape(-1)[0])
+                    q.put((tiles, mask, label, *item[2:]))
+            except Exception as e:  # surface producer errors to the consumer
+                q.put(e)
+            q.put(stop)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def sample_data(dataset, *, image_size: int | None = None,
+                shuffle: bool = True, **kwargs):
+    """PyTorchHelpers.sample_data equivalent (call sites:
+    gbm/classify_combined.py:313,412): arm the dataset's transforms at
+    ``image_size`` and return a prefetching bag iterator."""
+    if image_size is not None:
+        dataset.NewResolution(image_size)
+    return BagPrefetcher(dataset, shuffle=shuffle, **kwargs)

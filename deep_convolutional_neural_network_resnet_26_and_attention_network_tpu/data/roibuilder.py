@@ -1,0 +1,182 @@
+"""RoiBuilder: whole-slide-image -> filtered tile cache -> transformed bags.
+
+API and cache layout mirror the reference class (reference:
+RoiBuilder.py:24-284): same constructor shape ``RoiBuilder(path, params)``,
+same status machine INIT -> CACHE MISSING -> VALID -> VALID-READY, same cache
+filenames ``$CACHE_DIR/{data,coor}_<basename>_rois_size<roi>_hsvcut_v3.npy``
+so existing caches are interchangeable, same methods
+``build / update_resolution_and_buffer / get_train_data /
+get_validation_data / get_inference_data / getsize / getname / getmeta``.
+
+TPU-native differences (behavior preserved):
+  * tiles are HWC uint8 in the cache and bags come back as [T, res, res, 3]
+    float32 NHWC device arrays in [-1, 1] — already resident for the
+    extractor;
+  * tissue filtering during ``build`` runs batched on the accelerator
+    (data.tissue.tissue_mask_batch) instead of per-tile PIL/cv2;
+  * augmentation runs as one jitted batched program (data.transforms)
+    instead of torchvision per-tile CPU loops.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import slide_io, tissue, transforms
+
+ROI_SIZE = 1200          # reference: RoiBuilder.py:51
+TRAIN_TILE_CAP = 2500    # reference: RoiBuilder.py:230
+EMPTY_BAG_SHAPE = (20, 128, 128, 3)  # zeros fallback (reference: RoiBuilder.py:236)
+
+
+class RoiBuilder:
+    """Tile extraction, caching, and bag generation for one slide.
+
+    Arguments:
+        path: full WSI path.
+        params: dict of user parameters (caMicroscope ids, outcome labels,
+            ...); enriched in-place with cache/status metadata exactly like
+            the reference so downstream manifest writers keep working.
+    """
+
+    def __init__(self, path: str, params: dict, *, loud: bool = False,
+                 rng: np.random.Generator | None = None):
+        self.params = params
+        self.params["fullpath"] = path
+        self.params["basename"] = os.path.split(path)[1].split(".")[0]
+        self.params["root_cache_dir"] = os.path.expandvars("$CACHE_DIR")
+        # 1200 like the reference; a pre-set params['roi_size'] wins so small
+        # fixtures/tests can use tiny tiles (cache filenames encode the size)
+        self.params["roi_size"] = params.get("roi_size", ROI_SIZE)
+        self.params["padding"] = 0
+        self.params["ntiles"] = -1
+        self.params["status"] = "INIT"
+        self.params["coor_cache"] = "{0}/coor_{1}_rois_size{2}_hsvcut_v3.npy".format(
+            self.params["root_cache_dir"], self.params["basename"],
+            self.params["roi_size"])
+        self.params["data_cache"] = "{0}/data_{1}_rois_size{2}_hsvcut_v3.npy".format(
+            self.params["root_cache_dir"], self.params["basename"],
+            self.params["roi_size"])
+        self.loud = loud
+        self._rng = rng or np.random.default_rng()
+        self._resolution = None
+        self._train_rng = jax.random.PRNGKey(
+            int(self._rng.integers(0, 2**31 - 1)))
+
+        if os.path.isfile(self.params["data_cache"]):
+            raster = np.load(self.params["coor_cache"])
+            self.params["ntiles"] = len(raster)
+            self.params["status"] = "VALID"
+        else:
+            self.params["status"] = "CACHE MISSING"
+
+        self.params["caMIC_eligable"] = slide_io.openslide_eligible(path)
+        if self.loud:
+            print(f"RoiBuilder[{self.params['basename']}] "
+                  f"status={self.params['status']} ntiles={self.params['ntiles']}")
+
+    # ------------------------------------------------------------------
+    # Generic accessors (reference: RoiBuilder.py:89-102)
+    def getsize(self) -> int:
+        return self.params["ntiles"]
+
+    def getname(self) -> str:
+        return self.params["basename"]
+
+    def getmeta(self) -> dict:
+        return self.params
+
+    # kept as staticmethods for API parity
+    sliding_window = staticmethod(tissue.sliding_window)
+
+    @staticmethod
+    def array_read_region(arr, coord, downsample, size):
+        """Pull one tile out of a full-slide array (row, col indexing)."""
+        raw = np.asarray(
+            arr[coord[0]:coord[0] + size[0], coord[1]:coord[1] + size[1], :])
+        return raw, raw
+
+    # ------------------------------------------------------------------
+    def build(self) -> bool:
+        """Raster-scan the slide, keep tissue tiles, persist the cache.
+
+        (reference: RoiBuilder.py:128-177; the tissue rule lives in
+        data.tissue and runs batched on the accelerator)
+        """
+        if "VALID" in self.params["status"]:
+            return True
+        if os.path.isfile(self.params["data_cache"]):
+            self.params["ntiles"] = len(np.load(self.params["coor_cache"]))
+            self.params["status"] = "VALID"
+            return True
+
+        img = slide_io.read_slide(self.params["fullpath"])
+        tiles, coords = tissue.extract_tissue_tiles(
+            img, self.params["roi_size"], self.params["padding"])
+        np.save(self.params["data_cache"], tiles)
+        np.save(self.params["coor_cache"], coords)
+        self.params["ntiles"] = len(coords)
+        self.params["status"] = "VALID"
+        return True
+
+    # ------------------------------------------------------------------
+    def update_resolution_and_buffer(self, resolution: int):
+        """Set the network input resolution; arms the transforms
+        (reference: RoiBuilder.py:182-212)."""
+        if "VALID" not in self.params["status"]:
+            raise RuntimeError(
+                "updating transforms for an uncached slide; call build() first")
+        self._resolution = int(resolution)
+        self.params["resolution"] = self._resolution
+        self.params["status"] = "VALID-READY"
+
+    def _load_cache(self, with_coords: bool = False):
+        if not os.path.isfile(self.params["data_cache"]):
+            raise RuntimeError(
+                f"RoiBuilder has no cache: {self.params['data_cache']}")
+        data = np.load(self.params["data_cache"])
+        if with_coords:
+            return data, np.load(self.params["coor_cache"])
+        return data
+
+    def _require_ready(self):
+        if "VALID-READY" not in self.params["status"]:
+            raise RuntimeError(
+                "transform not armed (status=[{0}]); call "
+                "update_resolution_and_buffer() first".format(
+                    self.params["status"]))
+
+    def get_train_data(self):
+        """Augmented bag [T<=2500, res, res, 3] float32 in [-1, 1]
+        (reference: RoiBuilder.py:215-238)."""
+        self._require_ready()
+        data = self._load_cache()
+        if data.shape[0] > TRAIN_TILE_CAP:
+            idx = self._rng.choice(data.shape[0], TRAIN_TILE_CAP, replace=False)
+            data = data[idx]
+        if len(data) == 0:
+            return jnp.zeros(EMPTY_BAG_SHAPE, jnp.float32)
+        self._train_rng, sub = jax.random.split(self._train_rng)
+        return transforms.apply_chunked(
+            transforms.train_transform, data, rng=sub,
+            roi_size=self.params["roi_size"], resolution=self._resolution)
+
+    def get_validation_data(self):
+        """Deterministic bag [T, res, res, 3] (reference: RoiBuilder.py:240-259)."""
+        self._require_ready()
+        data = self._load_cache()
+        if len(data) == 0:
+            return jnp.zeros(EMPTY_BAG_SHAPE, jnp.float32)
+        return transforms.apply_chunked(
+            transforms.eval_transform, data, resolution=self._resolution)
+
+    def get_inference_data(self):
+        """(tiles [T, res, res, 3], coords [T, 2], raw uint8 tiles) — no
+        randomization or capping (reference: RoiBuilder.py:261-284)."""
+        self._require_ready()
+        img_data, coords = self._load_cache(with_coords=True)
+        stacks = transforms.apply_chunked(
+            transforms.eval_transform, img_data, resolution=self._resolution)
+        return stacks, coords, img_data

@@ -1,0 +1,337 @@
+"""Data layer tests: tissue filter parity vs PIL, transforms, RoiBuilder
+cache lifecycle, dataset split/labels, and the padded-bag loader."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image, ImageStat
+
+import conftest  # noqa: F401  (forces the 8-device CPU mesh)
+import jax
+import jax.numpy as jnp
+
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+    accessors,
+    dataset as ds,
+    loader,
+    roibuilder,
+    slide_io,
+    tissue,
+    transforms,
+)
+
+
+# ---------------------------------------------------------------- tissue
+def _pil_reference_filter(tile_u8):
+    """The reference's exact per-tile rule via PIL/numpy
+    (RoiBuilder.py:159-167 semantics, re-derived independently)."""
+    roi = Image.fromarray(tile_u8)
+    if ImageStat.Stat(roi).stddev[0] <= 5:
+        return False
+    hsv = np.asarray(roi.convert("HSV")).astype(np.int32)
+    h, v = hsv[..., 0], hsv[..., 2]
+    o = (h > 120) & (v > 50) & (v < 210)
+    return int(o.sum()) > 1000
+
+
+def _tissue_like(rng, shape=(64, 64, 3)):
+    """Purple-ish H&E-looking noise that passes the HSV gate."""
+    base = np.array([140, 60, 170], np.int16)  # R,G,B purple
+    noise = rng.integers(-40, 40, shape).astype(np.int16)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def test_tissue_filter_matches_pil_semantics():
+    rng = np.random.default_rng(0)
+    tiles = []
+    tiles.append(np.full((64, 64, 3), 255, np.uint8))          # white: reject
+    tiles.append(np.full((64, 64, 3), 128, np.uint8))          # flat: reject
+    tiles.append(_tissue_like(rng))                            # tissue: accept
+    for _ in range(12):                                        # random tiles
+        tiles.append(rng.integers(0, 256, (64, 64, 3), np.uint8))
+    got_host = [tissue.is_tissue(t) for t in tiles]
+    got_dev = np.asarray(tissue.tissue_mask_batch(jnp.asarray(np.stack(tiles))))
+    want = [_pil_reference_filter(t) for t in tiles]
+    assert got_host == want
+    assert got_dev.tolist() == want
+    assert want[0] is False and want[2] is True
+
+
+def test_sliding_window_layout():
+    coords = tissue.sliding_window((130, 70, 3), 30, padding=0)
+    # rows iterate fastest (reference raster order), (row, col) tuples
+    assert coords[0] == (0, 0) and coords[1] == (30, 0)
+    for (x, y) in coords:
+        assert x + 30 <= 130 and y + 30 <= 70
+
+
+# ------------------------------------------------------------ transforms
+def test_eval_transform_range_and_shape():
+    rng = np.random.default_rng(1)
+    tiles = rng.integers(0, 256, (5, 48, 48, 3), np.uint8)
+    out = transforms.eval_transform(jnp.asarray(tiles), resolution=24)
+    assert out.shape == (5, 24, 24, 3)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+    # identity resolution: exact normalize
+    same = transforms.eval_transform(jnp.asarray(tiles), resolution=48)
+    np.testing.assert_allclose(
+        np.asarray(same), tiles.astype(np.float32) / 127.5 - 1.0, atol=1e-5)
+
+
+def test_train_transform_statistics():
+    rng = np.random.default_rng(2)
+    tiles = rng.integers(0, 256, (8, 40, 40, 3), np.uint8)
+    out1 = transforms.train_transform(jnp.asarray(tiles), jax.random.PRNGKey(0),
+                                      roi_size=40, resolution=20, pad=4)
+    out2 = transforms.train_transform(jnp.asarray(tiles), jax.random.PRNGKey(1),
+                                      roi_size=40, resolution=20, pad=4)
+    assert out1.shape == (8, 20, 20, 3)
+    # different rng -> different augmentation
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_apply_chunked_matches_single_shot():
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(0, 256, (11, 32, 32, 3), np.uint8)
+    full = transforms.eval_transform(jnp.asarray(tiles), resolution=16)
+    chunked = transforms.apply_chunked(transforms.eval_transform, tiles,
+                                       chunk=4, resolution=16)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-6)
+
+
+# ------------------------------------------------------------ RoiBuilder
+@pytest.fixture
+def cache_dir(tmp_path, monkeypatch):
+    d = tmp_path / "cache"
+    d.mkdir()
+    monkeypatch.setenv("CACHE_DIR", str(d))
+    return d
+
+
+def _synthetic_slide(rng, size=400):
+    """Half tissue-like, half white background."""
+    img = np.full((size, size, 3), 255, np.uint8)
+    img[: size // 2] = _tissue_like(rng, (size // 2, size, 3))
+    return img
+
+
+def test_roibuilder_lifecycle(tmp_path, cache_dir):
+    rng = np.random.default_rng(4)
+    slide = _synthetic_slide(rng, size=400)
+    path = slide_io.write_synthetic_slide(str(tmp_path / "GHP_1_A_HE.npy"), slide)
+
+    params = {"roi_size": 64, "outcome_item": 1}
+    b = roibuilder.RoiBuilder(path, params)
+    assert b.params["status"] == "CACHE MISSING"
+    assert "rois_size64_hsvcut_v3.npy" in b.params["data_cache"]
+
+    assert b.build()
+    assert b.params["status"] == "VALID"
+    assert b.getsize() > 0
+    # only tiles from the tissue half survive
+    coords = np.load(b.params["coor_cache"])
+    assert (coords[:, 0] < 200).all()
+
+    with pytest.raises(RuntimeError):
+        b.get_train_data()  # transform not armed yet
+
+    b.update_resolution_and_buffer(32)
+    bag = b.get_train_data()
+    assert bag.shape[1:] == (32, 32, 3)
+    val = b.get_validation_data()
+    assert val.shape[0] == b.getsize()
+    stacks, cords, raw = b.get_inference_data()
+    assert stacks.shape[0] == len(cords) == len(raw)
+
+    # a second builder on the same path hits the cache
+    b2 = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    assert b2.params["status"] == "VALID"
+    assert b2.getsize() == b.getsize()
+
+
+# ------------------------------------------------------------- accessors
+def _write_cluster_csv(path):
+    rows = [
+        ["id", "junk"],
+        ["header-row", "Actual Cluster Designation"],
+        ["GHP_1_A", "A"],
+        ["GHP_2_B", "B"],
+        ["GHP_3_C", "C"],
+        ["GHP_4_D", ""],
+    ]
+    import csv
+
+    with open(path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+
+
+def test_cluster_index_lookup(tmp_path):
+    sheet = tmp_path / "clusters.csv"
+    _write_cluster_csv(sheet)
+    dt = [str, int, str]
+    assert accessors.getClusterIndex(("GHP", 1, "A"),
+                                     "Actual Cluster Designation",
+                                     str(sheet), dtypes=dt) == "A"
+    assert accessors.getClusterIndex(("GHP", 3, "C"),
+                                     "Actual Cluster Designation",
+                                     str(sheet), dtypes=dt) == "C"
+    # empty cell -> -1 sentinel, missing -> -9
+    assert accessors.getClusterIndex(("GHP", 4, "D"),
+                                     "Actual Cluster Designation",
+                                     str(sheet), dtypes=dt) == "-1"
+    assert accessors.getClusterIndex(("GHP", 9, "Z"),
+                                     "Actual Cluster Designation",
+                                     str(sheet), dtypes=dt) == "-9"
+
+
+def test_split_ghp_convention():
+    assert accessors.split_GHP_convention("GHP_12_B", [str, int, str]) == (
+        "GHP", 12, "B")
+    assert accessors.split_GHP_convention("GHP-12-B", [str, int, str]) == (
+        "GHP", 12, "B")
+    assert accessors.split_GHP_convention("garbage", [str, int, str]) == (
+        "-99", -99, "-99")
+
+
+# -------------------------------------------------------------- dataset
+def _fake_cached_slide(img_dir, cache_dir, name, n_tiles, rng, roi=32):
+    """Touch a slide file and pre-populate its tile cache."""
+    path = os.path.join(img_dir, name)
+    with open(path, "wb") as f:
+        f.write(b"fake")
+    base = os.path.split(path)[1].split(".")[0]
+    tiles = np.stack([_tissue_like(rng, (roi, roi, 3)) for _ in range(n_tiles)])
+    coords = np.stack([np.array([i * roi, 0]) for i in range(n_tiles)])
+    np.save(os.path.join(cache_dir, f"data_{base}_rois_size{roi}_hsvcut_v3.npy"), tiles)
+    np.save(os.path.join(cache_dir, f"coor_{base}_rois_size{roi}_hsvcut_v3.npy"), coords)
+    return path
+
+
+@pytest.fixture
+def slide_tree(tmp_path, cache_dir):
+    rng = np.random.default_rng(5)
+    img_dir = tmp_path / "slides"
+    img_dir.mkdir()
+    sheet = tmp_path / "clusters.csv"
+    _write_cluster_csv(sheet)
+    for name, n in [("GHP_1_A_H&E.scn", 24), ("GHP_2_B_H&E.scn", 30),
+                    ("GHP_3_C_H&E.scn", 25)]:
+        _fake_cached_slide(str(img_dir), str(cache_dir), name, n, rng)
+    # too few tiles -> dropped
+    _fake_cached_slide(str(img_dir), str(cache_dir), "GHP_4_D_H&E.scn", 5, rng)
+    # super-normal .svs -> forced label 1
+    _fake_cached_slide(str(img_dir), str(cache_dir), "SN_77.svs", 22, rng)
+    return tmp_path, img_dir, sheet
+
+
+def _make_dataset(slide_tree, out_dir, seed=0):
+    tmp_path, img_dir, sheet = slide_tree
+    return ds.GHPSingleBagDatasetSimple(
+        bag=True, output_dir=str(out_dir),
+        root_dir=str(tmp_path), image_dir="slides",
+        label_sheet=str(sheet), seed=seed)
+
+
+def test_dataset_load_new_and_modes(slide_tree, tmp_path):
+    out = tmp_path / "out"
+    out.mkdir()
+    d = _make_dataset(slide_tree, out)
+    # fixture caches hold 32px tiles -> builders must use roi_size=32
+    import deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.dataset as dmod
+
+    orig_rb = dmod.RoiBuilder
+
+    def rb32(file, params):
+        params = dict(params)
+        params["roi_size"] = 32
+        return orig_rb(file, params)
+
+    dmod.RoiBuilder = rb32
+    try:
+        d.load_new(n_folds=4, n_fold_selection=0)
+    finally:
+        dmod.RoiBuilder = orig_rb
+
+    # GHP_4 dropped (5 < 20 tiles); 3 scn + 1 svs remain
+    assert len(d.all_builders) == 4
+    # svs got label 1
+    svs = [b for b in d.all_builders if "SN_77" in b.getname()]
+    assert svs and svs[0].params["outcome_item"] == 1
+    # split JSON exists with the reference schema
+    files = [f for f in os.listdir(out)
+             if f.startswith("training_validation_testing_data")]
+    assert files
+    with open(out / files[0]) as f:
+        split = json.load(f)
+    assert set(split) >= {"train_paths", "train_outcomes",
+                          "validation_paths", "validation_outcomes"}
+    assert len(d.train_slide_builders) + len(d.test_slide_builders) == 4
+
+    w = d.GetClassWeights()
+    assert w.ndim == 1 and (w > 0).all()
+
+    d.NewResolution(16)
+    d.train()
+    tiles, label = d[0]
+    assert tiles.shape[1:] == (16, 16, 3)
+    d.eval()
+    tiles, label = d[0]
+    assert tiles.shape[1:] == (16, 16, 3)
+    d.interface()
+    tiles, label, coords, params = d[0]
+    assert len(coords) == tiles.shape[0]
+    assert "data_cache" in params
+
+    # checkpoint restore round-trips the same paths
+    d2 = ds.GHPSingleBagDatasetSimple(output_dir=str(out))
+    dmod.RoiBuilder = rb32
+    try:
+        d2.load_from_checkpoint(str(out / files[0]))
+    finally:
+        dmod.RoiBuilder = orig_rb
+    assert d2.train_slide_path == split["train_paths"]
+    assert d2.test_slide_path == split["validation_paths"]
+
+
+# ---------------------------------------------------------------- loader
+def test_pad_bag_and_buckets():
+    assert loader.bucket_for(20) == 32
+    assert loader.bucket_for(33) == 64
+    tiles = jnp.ones((20, 4, 4, 3))
+    padded, mask = loader.pad_bag(tiles)
+    assert padded.shape[0] == 32
+    assert float(mask.sum()) == 20
+    # multiple_of for tile-axis sharding
+    padded8, mask8 = loader.pad_bag(jnp.ones((33, 2)), multiple_of=8)
+    assert padded8.shape[0] % 8 == 0 and float(mask8.sum()) == 33
+
+
+class _ToyDataset:
+    def __init__(self, sizes):
+        self.sizes = sizes
+
+    def __len__(self):
+        return len(self.sizes)
+
+    def __getitem__(self, i):
+        t = self.sizes[i]
+        return np.full((t, 2, 2, 3), i, np.float32), np.asarray([i % 3])
+
+
+def test_prefetcher_yields_padded_bags():
+    data = _ToyDataset([5, 40, 17])
+    seen = list(loader.BagPrefetcher(data, shuffle=False))
+    assert len(seen) == 3
+    tiles, mask, label = seen[1]
+    assert tiles.shape[0] == 64 and float(mask.sum()) == 40 and label == 1
+
+
+def test_prefetcher_propagates_errors():
+    class Boom(_ToyDataset):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader.BagPrefetcher(Boom([1]), shuffle=False))
