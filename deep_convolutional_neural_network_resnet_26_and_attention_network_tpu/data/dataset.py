@@ -42,6 +42,7 @@ class GHPSingleBagDatasetSimple:
                  scn_glob: str = "*H&E.scn",
                  svs_glob: str = "*.svs",
                  ylabel: str = "Actual Cluster Designation",
+                 roi_size: int | None = None,
                  seed: int | None = None):
         self.train_slide_builders, self.train_slide_outcomes = [], []
         self.train_slide_path, self.train_slide_record = [], []
@@ -58,12 +59,18 @@ class GHPSingleBagDatasetSimple:
             root_dir, "PCA Clustering designation and thresholds.xlsx")
         self.bagmode = bag
         self.ylabel = ylabel
+        self.roi_size = roi_size  # None -> RoiBuilder default (1200)
         self.split = split
         self.output_dir = output_dir
         self.studyid = "gmb-id-nn"
         self.mode = "train"
         self._py_rng = pyrandom.Random(seed)
         self._np_rng = np.random.default_rng(seed)
+
+    def _builder(self, file: str, params: dict) -> RoiBuilder:
+        if self.roi_size is not None:
+            params.setdefault("roi_size", self.roi_size)
+        return RoiBuilder(file, params=params)
 
     # ------------------------------------------------------------------
     def _save_split(self):
@@ -92,7 +99,7 @@ class GHPSingleBagDatasetSimple:
                 "pxname": os.path.split(file)[1].split(" ")[0].split("-")[0],
                 "outcome_item": out, "outcome_tensor": np.asarray([out]),
             }
-            b = RoiBuilder(file, params=params)
+            b = self._builder(file, params)
             self.train_slide_builders.append(b)
             self.train_slide_outcomes.append(np.asarray([out]))
             self.train_slide_path.append(file)
@@ -104,7 +111,7 @@ class GHPSingleBagDatasetSimple:
                 "pxname": os.path.split(file)[1].split(" ")[0].split("-")[0],
                 "outcome_item": out, "outcome_tensor": np.asarray([out]),
             }
-            b = RoiBuilder(file, params=params)
+            b = self._builder(file, params)
             self.test_slide_builders.append(b)
             self.test_slide_outcomes.append(np.asarray([out]))
             self.test_slide_path.append(file)
@@ -144,7 +151,7 @@ class GHPSingleBagDatasetSimple:
             "outcome_item": outcome,
             "outcome_tensor": np.asarray([outcome]),
         }
-        builder = RoiBuilder(file, params=params)
+        builder = self._builder(file, params)
         if builder.getsize() < MIN_TILES:
             return
         self.all_builders.append(builder)

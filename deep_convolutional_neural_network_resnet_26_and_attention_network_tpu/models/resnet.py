@@ -81,18 +81,34 @@ def init_resnet26(key, *, embed_dim: int = EMBED_DIM,
     return params
 
 
-def apply_resnet26(params, x, *, compute_dtype=None):
-    """Forward: x [N, H, W, 3] -> embeddings [N, embed_dim] (float32)."""
+def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False):
+    """Forward: x [N, H, W, 3] -> embeddings [N, embed_dim].
+
+    With ``taps=True`` also returns an ordered dict of intermediate
+    activations ('stem', 'stage1'..'stage4', 'pool') — the explicit-return
+    replacement for the reference's forward hooks
+    (PyTorchHelpers.prime_activation_summary/vis call sites:
+    gbm/classify_combined.py:369-381,418).
+    """
+    acts = {}
     h = N.conv2d(x, params["conv1"]["w"], params["conv1"]["b"], stride=2,
                  padding=3, compute_dtype=compute_dtype)
     h = N.leaky_relu(h)
     h = N.max_pool(h, window=3, stride=2, padding=1)
+    if taps:
+        acts["stem"] = h
     for stage_idx, stage in enumerate(params["stages"]):
         for b, block in enumerate(stage):
             stride = 2 if (stage_idx > 0 and b == 0) else 1
             h = apply_block(block, h, stride, compute_dtype=compute_dtype)
+        if taps:
+            acts[f"stage{stage_idx + 1}"] = h
     h = N.global_avg_pool(h)
-    return N.linear(h, params["fc"]["w"], compute_dtype=compute_dtype)
+    out = N.linear(h, params["fc"]["w"], compute_dtype=compute_dtype)
+    if taps:
+        acts["pool"] = h
+        return out, acts
+    return out
 
 
 def num_params(params) -> int:

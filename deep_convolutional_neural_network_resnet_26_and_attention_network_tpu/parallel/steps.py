@@ -96,6 +96,71 @@ def make_train_step(cfg: amil.MILConfig, tx=None, *, compute_dtype=None,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_bag_forward(cfg: amil.MILConfig, *, train: bool = False,
+                     compute_dtype=None):
+    """Jitted single-bag forward: fn(params, tiles, mask, label[, rng]) -> dict.
+
+    Retraces once per padded bucket size; used by the sequential driver
+    (validate / visualize / interface paths)."""
+
+    if train:
+        def fwd(params, tiles, mask, label, rng):
+            return amil.apply_attention_mil(params, tiles, label, cfg,
+                                            mask=mask, train=True, rng=rng,
+                                            compute_dtype=compute_dtype)
+    else:
+        def fwd(params, tiles, mask, label):
+            return amil.apply_attention_mil(params, tiles, label, cfg,
+                                            mask=mask, train=False,
+                                            compute_dtype=compute_dtype)
+    return jax.jit(fwd)
+
+
+def make_bag_grad(cfg: amil.MILConfig, *, compute_dtype=None):
+    """Jitted per-bag loss gradient: fn(params, tiles, mask, label, rng)
+    -> (outputs dict, grads). One call = one ``loss.backward()`` of the
+    reference's hot loop (reference: gbm/classify_combined.py:446-447)."""
+
+    def grad_fn(params, tiles, mask, label, rng):
+        def loss_fn(p):
+            outs = amil.apply_attention_mil(p, tiles, label, cfg, mask=mask,
+                                            train=True, rng=rng,
+                                            compute_dtype=compute_dtype)
+            return outs["loss"], outs
+
+        (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return outs, grads
+
+    return jax.jit(grad_fn)
+
+
+def make_accumulate():
+    """Jitted grad sum: (acc, grads) -> acc + grads."""
+    return jax.jit(
+        lambda acc, g: jax.tree_util.tree_map(jnp.add, acc, g))
+
+
+def zeros_like_grads(params):
+    return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+def make_apply_updates(tx=None):
+    """Jitted optimizer application: (state, grad_sum, lr) -> state.
+
+    Mirrors ``optimizer.step()`` after 5 accumulated bags (reference:
+    gbm/classify_combined.py:450-454); Adam moments update from the raw
+    accumulated gradient, the step size scales by lr."""
+    tx = tx or make_optimizer()
+
+    def apply(state: TrainState, grads, lr):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1)
+
+    return jax.jit(apply)
+
+
 def make_eval_step(cfg: amil.MILConfig, *, compute_dtype=None):
     """Returns jitted eval(params, tiles, masks, labels) -> per-bag outputs."""
 

@@ -1,0 +1,415 @@
+"""Attention-MIL training/eval/interface CLI — the live driver.
+
+Mirrors the reference entry point ``gbm/classify_combined.py`` flag-for-flag
+(--tag --ckpt --fold --epoch_start --epoch_end --transfer --peak --test_only
+--interface; reference: gbm/classify_combined.py:44-87) and artifact-for-
+artifact (per-epoch ``train_step-<epoch:03d>.model`` checkpoints,
+``*summary.json`` stats, prediction bars, attention heatmap panels,
+caMicroscope manifests + ``.dla`` maps), with the compute path rebuilt for
+TPU: jitted per-bag forward/grad with static padded buckets, gradient
+accumulation over 5 slides (reference: :446-454), the staged LR schedule as
+a pure function (reference: :110-138), and all tile-axis math mask-exact.
+
+Dataset roots and the label spreadsheet are flags instead of hardcoded
+``/raid`` paths (reference: gbm/GlioblastomaDS.py:52-54).
+
+Run ``python -m deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train.classify --help``.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from sklearn.metrics import classification_report
+
+from ..data import dataset as ds_mod
+from ..data.loader import sample_data
+from ..models import attention_mil as amil
+from ..parallel import steps
+from ..utils import helpers, plots
+from . import checkpoint, schedule
+
+TARGET_NAMES = ["A", "B", "C"]
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        description="Attention-based classifier for WSI images "
+                    "(TPU-native attention-MIL)")
+    p.add_argument("--tag", default="TEST", type=str, help="Output tag")
+    p.add_argument("--ckpt", default=None, type=str,
+                   help="load from previous checkpoints")
+    p.add_argument("--epoch_start", default=0, type=int)
+    p.add_argument("--epoch_end", default=40, type=int)
+    p.add_argument("--fold", default=0, type=int, help="Which fold?")
+    p.add_argument("--transfer", action="store_true",
+                   help="Transfer learning: restore ResNet convs only, "
+                        "linear layers stay freshly initialized")
+    p.add_argument("--peak", action="store_true",
+                   help="Inspect weight matrices / activations and exit")
+    p.add_argument("--test_only", action="store_true",
+                   help="Exit after one validation pass")
+    p.add_argument("--interface", action="store_true",
+                   help="Run in caMicroscope interface mode")
+    # configuration the reference hardcoded
+    p.add_argument("--data_root", default="/raid/GHP Immunohistochemistry/")
+    p.add_argument("--image_dir", default="All_HE_scans_GBM_AN")
+    p.add_argument("--label_sheet", default=None)
+    p.add_argument("--split_ckpt", default=None,
+                   help="restore a training_validation_testing_data*.json split")
+    p.add_argument("--output_root", default=".")
+    p.add_argument("--resolution", default=300, type=int)
+    p.add_argument("--roi_size", default=None, type=int,
+                   help="tile size on the slide (default: RoiBuilder's 1200)")
+    p.add_argument("--accum", default=5, type=int,
+                   help="gradient-accumulation slides per optimizer step")
+    p.add_argument("--arch", default="full", choices=["full", "tiny"],
+                   help="tiny = smoke-test model (CI/CPU)")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--f32", action="store_true",
+                   help="disable bf16 conv/matmul compute")
+    p.add_argument("--n_vis", default=8, type=int,
+                   help="slides visualized every 10 epochs")
+    return p
+
+
+def make_config(args, class_weights=None) -> amil.MILConfig:
+    if args.arch == "tiny":
+        return amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1),
+                              class_weights=tuple(class_weights)
+                              if class_weights is not None else None)
+    return amil.MILConfig(class_weights=tuple(class_weights)
+                          if class_weights is not None else None)
+
+
+class Driver:
+    """Holds the jitted step functions, state, and output paths."""
+
+    def __init__(self, args, cfg: amil.MILConfig, output_dir: str):
+        self.args = args
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.heat_dir = os.path.join(output_dir, "heatmaps")
+        os.makedirs(self.heat_dir, exist_ok=True)
+        self.compute_dtype = None if args.f32 else jnp.bfloat16
+        self.rng = jax.random.PRNGKey(args.seed)
+
+        params = amil.init_attention_mil(jax.random.PRNGKey(args.seed), cfg)
+        self.tx = steps.make_optimizer()
+        self.state = steps.init_train_state(params, self.tx)
+
+        self.grad_fn = steps.make_bag_grad(cfg, compute_dtype=self.compute_dtype)
+        self.fwd_eval = steps.make_bag_forward(cfg, train=False,
+                                               compute_dtype=self.compute_dtype)
+        self.fwd_train = steps.make_bag_forward(cfg, train=True,
+                                                compute_dtype=self.compute_dtype)
+        self.accumulate = steps.make_accumulate()
+        self.apply_updates = steps.make_apply_updates(self.tx)
+
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # ------------------------------------------------------------ train
+    def train_epoch(self, epoch: int, dataset, epoch_stats: dict):
+        stage = schedule.stage_for_epoch(epoch)
+        if stage.stop:
+            checkpoint.save(
+                checkpoint.checkpoint_path(self.output_dir, epoch, final=True),
+                self.state.params)
+            print(f"Stage = [Stop]: saved FINAL checkpoint at epoch {epoch}")
+            return False
+        print(f"===> TRAIN: Epoch = {epoch} "
+              f"Stage = [{stage.name}], lr = [{stage.lr}]")
+
+        coefs = np.asarray(amil.gate_coefficients(self.state.params))
+        epoch_stats["coef_a1"] = float(coefs[0])
+        epoch_stats["coef_a2"] = float(coefs[1])
+        epoch_stats["coef_a3"] = float(coefs[2])
+
+        dataset.train()
+        loader = sample_data(dataset, image_size=self.args.resolution,
+                             shuffle=True)
+
+        sums = dict(loss=0.0, error=0.0, mu=0.0, var=0.0, kld=0.0)
+        l2 = 0.0
+        predictions, labels = [], []
+        grad_acc = steps.zeros_like_grads(self.state.params)
+        batch_count = 0
+        n = 0
+        t0 = time.time()
+        for tiles, mask, label in loader:
+            outs, grads = self.grad_fn(self.state.params, tiles, mask,
+                                       jnp.int32(label), self.next_rng())
+            grad_acc = self.accumulate(grad_acc, grads)
+            batch_count += 1
+            if batch_count >= self.args.accum:
+                self.state = self.apply_updates(self.state, grad_acc,
+                                                jnp.float32(stage.lr))
+                grad_acc = steps.zeros_like_grads(self.state.params)
+                batch_count = 0
+
+            predictions.append(int(outs["y_pred_hat"]))
+            labels.append(label)
+            sums["loss"] += float(outs["loss"])
+            sums["error"] += float(outs["error"])
+            sums["mu"] += float(outs["Aterm_mu"])
+            sums["var"] += float(outs["Aterm_var"])
+            sums["kld"] += float(outs["KLD"])
+            l2 = float(outs["l2"])
+            n += 1
+        dt = time.time() - t0
+
+        checkpoint.save(checkpoint.checkpoint_path(self.output_dir, epoch),
+                        self.state.params, self.state.opt_state)
+        n = max(n, 1)
+        epoch_stats["train_acc"] = classification_report(
+            labels, predictions, labels=[0, 1, 2], target_names=TARGET_NAMES,
+            output_dict=True, zero_division=0)
+        epoch_stats["train_loss"] = sums["loss"] / n
+        epoch_stats["train_wsum"] = sums["mu"] / n
+        epoch_stats["train_wvar"] = sums["var"] / n
+        epoch_stats["train_cll2"] = l2
+        epoch_stats["train_kld"] = sums["kld"] / n
+        epoch_stats["train_err"] = sums["error"] / n
+        epoch_stats["train_secs"] = dt
+        epoch_stats["model_mean_weights"] = \
+            helpers.get_layer_weight_summary_mean(self.state.params)
+        epoch_stats["model_max_weights"] = \
+            helpers.get_layer_weight_summary_max(self.state.params)
+        print(f"T: Loss {epoch_stats['train_loss']:.3f}; "
+              f"Error {100 * epoch_stats['train_err']:.2f}%; "
+              f"{n} slides in {dt:.1f}s")
+        return True
+
+    # --------------------------------------------------------- validate
+    def validate(self, epoch: int, dataset, epoch_stats: dict):
+        print(f"===> VALIDATION: Epoch = {epoch}")
+        stage = schedule.stage_for_epoch(epoch, test=True)
+        dataset.eval()
+        loader = sample_data(dataset, image_size=self.args.resolution,
+                             shuffle=False)
+        sums = dict(loss=0.0, error=0.0, mu=0.0, kld=0.0)
+        l2 = 0.0
+        predictions, predvals, labels = [], [], []
+        n = 0
+        for tiles, mask, label in loader:
+            # pre-Check stages validate with train-mode stochasticity,
+            # exactly like the reference (SetStage(test=True) only switches
+            # to eval at epoch >= 150; reference: gbm/classify_combined.py:123-134)
+            if stage.train_mode:
+                outs = self.fwd_train(self.state.params, tiles, mask,
+                                      jnp.int32(label), self.next_rng())
+            else:
+                outs = self.fwd_eval(self.state.params, tiles, mask,
+                                     jnp.int32(label))
+            predictions.append(int(outs["y_pred_hat"]))
+            predvals.append(np.asarray(outs["y_pred"]).ravel())
+            labels.append(label)
+            sums["loss"] += float(outs["loss"])
+            sums["error"] += float(outs["error"])
+            sums["mu"] += float(outs["Aterm_mu"])
+            sums["kld"] += float(outs["KLD"])
+            l2 = float(outs["l2"])
+            n += 1
+        n = max(n, 1)
+        plots.plot_prediction_summary(epoch, self.heat_dir, predvals, labels)
+        epoch_stats["valid_acc"] = classification_report(
+            labels, predictions, labels=[0, 1, 2], target_names=TARGET_NAMES,
+            output_dict=True, zero_division=0)
+        epoch_stats["valid_loss"] = sums["loss"] / n
+        epoch_stats["valid_err"] = sums["error"] / n
+        epoch_stats["valid_wsum"] = sums["mu"] / n
+        epoch_stats["valid_kld"] = sums["kld"] / n
+        print(f"V: Loss {epoch_stats['valid_loss']:.3f}; "
+              f"Error {100 * epoch_stats['valid_err']:.2f}%")
+
+    # -------------------------------------------------------- visualize
+    def visualize(self, epoch: int, sample, mode: str = "Train"):
+        """Full-slide inference -> 2x3 attention heatmap panel
+        (reference: gbm/classify_combined.py:142-218)."""
+        from . import heatmap
+
+        name = mode + "-" + sample.getname()
+        data, raster, img_data = sample.get_inference_data()
+        from ..data.loader import pad_bag
+
+        tiles, mask = pad_bag(data)
+        outs = self.fwd_eval(self.state.params, tiles, mask, jnp.int32(1))
+        T = data.shape[0]
+        A = np.asarray(outs["wROIs"])[:, :T]
+        M = np.asarray(outs["Mterm"])
+        F = np.asarray(outs["Fterm"])[:T]
+        return heatmap.create_map(
+            name, epoch, "Last", img_data, raster, A, F, M,
+            roi_size=sample.params["roi_size"], output_dir=self.heat_dir)
+
+    # -------------------------------------------------------- interface
+    def interface(self, epoch: int, dataset):
+        """caMicroscope batch-inference mode
+        (reference: gbm/classify_combined.py:221-298)."""
+        import pandas as pd
+
+        print("===> INTERFACING TO CAMICROSCOPE")
+        dataset.interface()
+        loader = sample_data(dataset, image_size=self.args.resolution,
+                             shuffle=False)
+        out = self.output_dir
+        with open(f"{out}/move_images.sh", "w+") as f_tomove, \
+                open(f"{out}/manifest_img.csv", "w+") as f_img, \
+                open(f"{out}/manifest_heat.csv", "w+") as f_heat:
+            f_img.write("path,studyid,clinicaltrialsubjectid,imageid\n")
+            f_heat.write("path,studyid,clinicaltrialsubjectid,imageid\n")
+            predictions, labels = [], []
+            ccls, slide_ebs, l_ntiles = {}, {}, []
+            for tiles, mask, label, raster, meta in loader:
+                l_ntiles.append(meta["ntiles"])
+                image_name = meta.get("caMIC_image_name", meta["basename"])
+                id_name = meta.get("caMIC_id_name", meta["basename"])
+                study = meta.get("caMIC_study", "gbm-classif-nn")
+                f_img.write(f"{image_name},{study},{id_name},{id_name}\n")
+                f_tomove.write(f"cp '{meta['fullpath']}' "
+                               f"{out}/gbm_validation_set/\n")
+
+                outs = self.fwd_eval(self.state.params, tiles, mask,
+                                     jnp.int32(label))
+                T = int(np.asarray(mask).sum())
+                sample_key = meta.get("Sample Name", meta["basename"])
+                ccls[sample_key] = np.append(
+                    np.asarray(outs["y_pred"]).ravel(),
+                    float(outs["Aterm_var"]))
+                slide_ebs[sample_key] = np.append(
+                    float(label), np.asarray(outs["Mterm"]).ravel())
+                predictions.append(int(outs["y_pred_hat"]))
+                labels.append(label)
+                print(id_name, "| true:", meta.get("outcome_item", label),
+                      "| probs:", np.asarray(outs["y_pred"]).ravel(),
+                      "| Avar:", float(outs["Aterm_var"]))
+                helpers.write_map(meta, epoch, np.asarray(raster),
+                                  np.asarray(outs["Aterm"])[:, :T],
+                                  f_heat, out)
+        pd.DataFrame.from_dict(ccls, orient="index").to_csv(
+            os.path.join(out, "GBMresult_probs_class.csv"))
+        pd.DataFrame.from_dict(slide_ebs, orient="index").to_csv(
+            os.path.join(out, "GBMdata_slideEBs_class.csv"))
+        print("NTILES = ", l_ntiles)
+        print(classification_report(labels, predictions, labels=[0, 1, 2],
+                                    target_names=TARGET_NAMES,
+                                    zero_division=0))
+
+    # ------------------------------------------------------------- peak
+    def peak(self, dataset):
+        """Weight/activation inspection (reference:
+        gbm/classify_combined.py:537-544)."""
+        helpers.plot_kernels(self.state.params, self.args.epoch_start, 0,
+                             output_dir=self.output_dir)
+        dataset.train()
+        loader = sample_data(dataset, image_size=self.args.resolution,
+                             shuffle=True)
+        for tiles, mask, label in loader:
+            summary = helpers.activation_summary(
+                self.state.params["cnn"], tiles[:8],
+                compute_dtype=self.compute_dtype)
+            for layer, stats in summary.items():
+                print(f"{layer:10s} {stats}")
+            grids = helpers.activation_grids(
+                self.state.params["cnn"], tiles[:8],
+                compute_dtype=self.compute_dtype)
+            for layer, grid in grids.items():
+                helpers.plot_activations(
+                    grid, os.path.join(self.output_dir,
+                                       f"activations-{layer}.png"))
+            break
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    print(args)
+
+    if args.interface:
+        output_dir = os.path.join(args.output_root, "interface_data")
+    else:
+        output_dir = os.path.join(args.output_root, f"run_{args.tag}")
+    os.makedirs(output_dir, exist_ok=True)
+
+    dataset = ds_mod.GHPSingleBagDatasetSimple(
+        bag=True, output_dir=output_dir, root_dir=args.data_root,
+        image_dir=args.image_dir, label_sheet=args.label_sheet,
+        roi_size=args.roi_size, seed=args.seed)
+    if args.split_ckpt:
+        dataset.load_from_checkpoint(args.split_ckpt)
+    else:
+        dataset.load_new(n_folds=6, n_fold_selection=args.fold)
+
+    class_weights = dataset.GetClassWeights()
+    cfg = make_config(args, class_weights)
+    driver = Driver(args, cfg, output_dir)
+
+    if args.ckpt is not None:
+        params, loaded, skipped = checkpoint.restore_params(
+            driver.state.params, args.ckpt, transfer=args.transfer)
+        driver.state = driver.state._replace(params=params)
+        mode = "ResNet-conv transfer" if args.transfer else "full"
+        print(f"Loaded {mode} checkpoint: {len(loaded)} tensors "
+              f"({len(skipped)} skipped)")
+        if not args.transfer:
+            opt_state, ok = checkpoint.restore_opt_state(
+                driver.state.opt_state, args.ckpt)
+            if ok:
+                driver.state = driver.state._replace(opt_state=opt_state)
+
+    if args.peak:
+        driver.peak(dataset)
+        return 0
+
+    if args.epoch_start == 0:
+        with open(os.path.join(output_dir, "model_structure.txt"), "w+") as f:
+            f.write(helpers.model_summary(driver.state.params))
+
+    # visualization samples: the reference hardcodes 8 demo slides
+    # (gbm/classify_combined.py:501-516); here the first test/train slides
+    vis_samples = []
+    for b, m in list(zip(dataset.test_slide_builders,
+                         ["Test"] * len(dataset.test_slide_builders)))[:4] + \
+            list(zip(dataset.train_slide_builders,
+                     ["Train"] * len(dataset.train_slide_builders)))[:4]:
+        vis_samples.append((b, m))
+    vis_samples = vis_samples[:args.n_vis]
+    for b, _ in vis_samples:  # arm transforms before the first visualize
+        b.update_resolution_and_buffer(args.resolution)  # (ref :509-516)
+
+    if args.interface:
+        for b, m in vis_samples:
+            driver.visualize(0, b, mode=m)
+        driver.interface(0, dataset)
+        return 0
+
+    if args.test_only:
+        epoch_stats = {}
+        driver.validate(args.epoch_start, dataset, epoch_stats)
+        helpers.savestats(args, output_dir, args.epoch_start, epoch_stats)
+        return 0
+
+    if vis_samples:
+        driver.visualize(0, vis_samples[0][0], mode=vis_samples[0][1])
+    for ep in range(args.epoch_start, args.epoch_end + 1):
+        epoch_stats = {}
+        if not driver.train_epoch(ep, dataset, epoch_stats):
+            break  # Stop stage
+        if ep % 5 == 0:
+            driver.validate(ep, dataset, epoch_stats)
+            helpers.savestats(args, output_dir, ep, epoch_stats)
+            plots.plot_gbm_metrics(output_dir, args.tag)
+        if ep % 10 == 0:
+            for b, m in vis_samples:
+                driver.visualize(ep, b, mode=m)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Attention heatmap panel rendering.
+
+Rebuilds the reference's ``visualize``/``create_map`` figure (reference:
+gbm/classify_combined.py:142-218): a 2x3 panel with (0,0) the tissue mosaic
+under the mean-attention overlay, (1,0..2) the three per-map attention
+overlays as colored rectangles at tile raster coordinates, (0,1) the
+per-tile feature embedding strips, and (0,2) the slide-embedding vector
+with the inter-class-vector angle in the title. Output paths land in the
+run directory instead of the reference's hardcoded Dropbox folder
+(reference: gbm/classify_combined.py:217).
+"""
+
+import os
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import matplotlib.patches as patches  # noqa: E402
+from matplotlib import cm  # noqa: E402
+
+
+def embedding_angle(M: np.ndarray) -> float:
+    """Mean pairwise angle (degrees) between slide-embedding vectors
+    (reference: gbm/classify_combined.py:157-161)."""
+    M = np.asarray(M, np.float64)
+    angles = []
+    for i in range(M.shape[0]):
+        for j in range(i + 1, M.shape[0]):
+            v1, v2 = M[i], M[j]
+            cosine = v1.dot(v2) / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-5)
+            angles.append(np.arccos(np.clip(cosine, -1.0, 1.0)))
+    return float(np.degrees(np.mean(angles))) if angles else 0.0
+
+
+def create_map(name, epoch, step, img_data, raster, A, F, M, *,
+               roi_size: int = 1200, output_dir: str = ".",
+               show: bool = False, downsample_tissue: int = 8):
+    """Render and save the 2x3 attention panel; returns the file path.
+
+    A: [K>=3, T] per-map attention (wROIs), F: [T, L] per-tile features,
+    M: [K, O] slide embedding, raster: [T, 2] (row, col) tile coords.
+    """
+    A = np.asarray(A, np.float64)
+    F = np.asarray(F, np.float64)
+    M = np.asarray(M, np.float64).reshape(A.shape[0], -1)
+    angle = embedding_angle(M)
+
+    # min-max normalize like the reference's A1 (gbm/classify_combined.py:163)
+    lo, hi = A.min(), A.max()
+    A1 = (A - lo) / (hi - lo) if hi > lo else np.zeros_like(A)
+
+    plt.ioff()
+    fig, ax = plt.subplots(figsize=(12, 8), nrows=2, ncols=3)
+    cmap_lin = cm.jet(np.linspace(0, 1, 105))
+    fig.suptitle(f"Epoch = {epoch}")
+
+    a_all = A1.mean(axis=0)
+    weights = [100 * a_all, 100 * A1[0], 100 * A1[1], 100 * A1[2]]
+    panels = [ax[0, 0], ax[1, 0], ax[1, 1], ax[1, 2]]
+    alphas = [0.3, 0.9, 0.9, 0.9]
+
+    x_locs, y_locs = [], []
+    s = roi_size
+    for i, roi in enumerate(img_data):
+        row, col = int(raster[i][0]), int(raster[i][1])
+        x_locs.append(col)
+        y_locs.append(row)
+        thumb = np.asarray(roi)[::downsample_tissue, ::downsample_tissue]
+        ax[0, 0].imshow(thumb, origin="upper",
+                        extent=(col, col + s, row, row - s))
+        for panel, w, alpha in zip(panels, weights, alphas):
+            if w[i] > 0.0:
+                panel.add_patch(patches.Rectangle(
+                    (col, row - s), s, s, linewidth=1,
+                    facecolor=cmap_lin[min(int(w[i]), 104)], alpha=alpha))
+        # per-tile feature strip (reference reshapes F to [T, 8, 10] and
+        # insets by 16px at roi_size=1200; keep the inset proportional)
+        feat = F[i]
+        side = feat.size // 10
+        inset = max(1, s // 75)
+        ax[0, 1].imshow(feat[: side * 10].reshape(side, 10), origin="upper",
+                        extent=(col + inset, col + s - inset,
+                                row - inset, row - s + inset))
+
+    chan_min, chan_max = M.min(), M.max()
+    span = (chan_max - chan_min) if chan_max > chan_min else 1.0
+    ax[0, 2].imshow((M.reshape(1, 1, -1)[..., :3] - chan_min) / span,
+                    origin="upper", extent=(0, 1, 0, -1))
+    ax[0, 2].title.set_text(
+        f"Angle = {angle:.2f}, Chan = {chan_min:.2f},{chan_max:.2f}")
+
+    for a in [ax[0, 0], ax[0, 1], ax[1, 0], ax[1, 1], ax[1, 2]]:
+        a.set_ylim(0 - s, max(y_locs) if y_locs else s)
+        a.set_xlim(0, (max(x_locs) + s) if x_locs else s)
+        a.set_aspect("equal")
+
+    plt.tight_layout()
+    path = os.path.join(
+        output_dir, f"gbm_status-{str(epoch).zfill(3)}_sample-{name}-heatmap.pdf")
+    if show:
+        plt.show()
+    plt.savefig(path)
+    plt.close(fig)
+    return path

@@ -1,0 +1,308 @@
+"""Training-stack tests: LR schedule parity, checkpoint round-trips and
+transfer filtering, helper artifacts, plots, and the end-to-end CLI driver
+on a synthetic dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+    attention_mil as amil,
+)
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+    steps,
+)
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+    checkpoint,
+    schedule,
+)
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.utils import (
+    helpers,
+    plots,
+)
+
+TINY = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+
+
+# --------------------------------------------------------------- schedule
+def test_stage_schedule_matches_reference_formula():
+    # reference: gbm/classify_combined.py:110-138
+    assert schedule.stage_for_epoch(0).lr == pytest.approx(2e-4 / 10)
+    assert schedule.stage_for_epoch(7).lr == pytest.approx(2e-4 / 3)
+    assert schedule.stage_for_epoch(10) == schedule.Stage("Main", 2e-4, True, False)
+    assert schedule.stage_for_epoch(149).lr == 2e-4
+    assert schedule.stage_for_epoch(150).lr == pytest.approx(1e-4)
+    assert schedule.stage_for_epoch(250).lr == pytest.approx(2e-5)
+    assert schedule.stage_for_epoch(340).lr == pytest.approx(2e-5)
+    assert schedule.stage_for_epoch(341).stop
+    # test=True flips to eval mode only from the Check stage on
+    assert schedule.stage_for_epoch(100, test=True).train_mode
+    assert not schedule.stage_for_epoch(200, test=True).train_mode
+    assert schedule.stage_for_epoch(200, test=False).train_mode
+
+
+# ------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    state = steps.init_train_state(params)
+    path = checkpoint.checkpoint_path(str(tmp_path), 7)
+    assert path.endswith("train_step-007.model")
+    checkpoint.save(path, state.params, state.opt_state)
+
+    fresh = amil.init_attention_mil(jax.random.PRNGKey(1), TINY)
+    restored, loaded, skipped = checkpoint.restore_params(fresh, path)
+    assert not skipped
+    for (n1, a), (n2, b) in zip(helpers.named_parameters(params),
+                                helpers.named_parameters(restored)):
+        assert n1 == n2
+        np.testing.assert_array_equal(a, b)
+
+    fresh_state = steps.init_train_state(fresh)
+    opt_state, ok = checkpoint.restore_opt_state(fresh_state.opt_state, path)
+    assert ok
+
+
+def test_checkpoint_transfer_filters_conv_only(tmp_path):
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    path = checkpoint.save(str(tmp_path / "ck.model"), params)
+    fresh = amil.init_attention_mil(jax.random.PRNGKey(1), TINY)
+    restored, loaded, _ = checkpoint.restore_params(fresh, path, transfer=True)
+    assert loaded and all("cnn" in k and "conv" in k for k in loaded)
+    # conv weights copied; linear layers untouched
+    np.testing.assert_array_equal(
+        restored["cnn"]["conv1"]["w"], params["cnn"]["conv1"]["w"])
+    assert not np.allclose(np.asarray(restored["attention"]["lin1"]["w"]),
+                           np.asarray(params["attention"]["lin1"]["w"]))
+    np.testing.assert_array_equal(restored["attention"]["lin1"]["w"],
+                                  fresh["attention"]["lin1"]["w"])
+    # the fc head is linear (no 'conv' in its key) -> not transferred
+    np.testing.assert_array_equal(restored["cnn"]["fc"]["w"],
+                                  fresh["cnn"]["fc"]["w"])
+
+
+def test_checkpoint_nonstrict_skips_mismatch(tmp_path):
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    path = checkpoint.save(str(tmp_path / "ck.model"), params)
+    bigger = amil.init_attention_mil(
+        jax.random.PRNGKey(1),
+        amil.MILConfig(widths=(16, 16, 16, 16), blocks=(1, 1, 1, 1)))
+    restored, loaded, skipped = checkpoint.restore_params(bigger, path)
+    assert skipped  # shape mismatches skipped, not fatal
+    with pytest.raises((KeyError, ValueError)):
+        checkpoint.restore_params(bigger, path, strict=True)
+
+
+def test_latest_checkpoint(tmp_path):
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    for ep in (1, 3, 2):
+        checkpoint.save(checkpoint.checkpoint_path(str(tmp_path), ep), params)
+    assert checkpoint.latest_checkpoint(str(tmp_path)).endswith(
+        "train_step-003.model")
+
+
+# ---------------------------------------------------------------- helpers
+def test_savestats_and_weight_summaries(tmp_path):
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    means = helpers.get_layer_weight_summary_mean(params)
+    maxes = helpers.get_layer_weight_summary_max(params)
+    assert "cnn/conv1/w" in means
+    assert all(maxes[k] >= means[k] for k in means)
+
+    path = helpers.savestats(None, str(tmp_path), 12,
+                             {"train_loss": 1.5, "model_max_weights": maxes})
+    assert path.endswith("0012summary.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["train_loss"] == 1.5 and d["epoch"] == 12
+
+
+def test_write_map_dla_format(tmp_path):
+    meta = {"basename": "slideX", "caMIC_study": "s", "caMIC_id_name": "idX"}
+    raster = np.array([[0, 0], [1200, 0], [0, 1200]])
+    attn = np.array([[0.1, 0.5, 0.9], [0.2, 0.2, 0.2], [0.0, 1.0, 0.5]])
+    import io
+
+    manifest = io.StringIO()
+    files = helpers.write_map(meta, 3, raster, attn, manifest, str(tmp_path))
+    assert len(files) == 4  # ATTN + ACTF1..3
+    lines = open(files[0]).read().splitlines()
+    assert len(lines) == 3
+    x, y, w = lines[1].split()
+    assert (int(x), int(y)) == (0, 1200)  # x=col, y=row
+    assert float(w) == pytest.approx((0.5 - 0.1) / (0.9 - 0.1))
+    assert "idX" in manifest.getvalue()
+
+
+def test_activation_summary_and_grids():
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    tiles = jnp.asarray(np.random.rand(4, 32, 32, 3), jnp.float32)
+    summary = helpers.activation_summary(params["cnn"], tiles)
+    assert set(summary) == {"stem", "stage1", "stage2", "stage3", "stage4",
+                            "pool"}
+    grids = helpers.activation_grids(params["cnn"], tiles)
+    assert grids["stem"].ndim == 3
+
+
+def test_random_crop_2x():
+    rng = np.random.default_rng(0)
+    a = rng.random((20, 20, 3))
+    b = rng.random((20, 20, 3))
+    crop_a, crop_b, (r, c) = helpers.RandomCrop2X(8, seed=1).Execute(a, b)
+    np.testing.assert_array_equal(crop_a, a[r:r + 8, c:c + 8])
+    np.testing.assert_array_equal(crop_b, b[r:r + 8, c:c + 8])
+    # pad_if_needed grows small inputs
+    small = rng.random((4, 4, 3))
+    crop_a, _, _ = helpers.RandomCrop2X(8, seed=1).Execute(small, small)
+    assert crop_a.shape == (8, 8, 3)
+
+
+# ------------------------------------------------------------------ plots
+def test_plot_suite(tmp_path):
+    out = str(tmp_path)
+    for ep in (0, 5):
+        helpers.savestats(None, out, ep, {
+            "train_loss": 1.0, "valid_loss": 1.1,
+            "train_wsum": 0.1, "valid_wsum": 0.1,
+            "coef_a1": 0.9, "coef_a2": 0.8, "coef_a3": 0.7,
+            "train_acc": {"accuracy": 0.5,
+                          "A": {"f1-score": 0.3}, "B": {"f1-score": 0.4},
+                          "C": {"f1-score": 0.5}},
+            "valid_acc": {"accuracy": 0.6,
+                          "A": {"f1-score": 0.3}, "B": {"f1-score": 0.4},
+                          "C": {"f1-score": 0.5}},
+            "model_max_weights": {"cnn/conv1/w": 0.5, "cnn/conv1/b": 0.1},
+        })
+    saved = plots.plot_gbm_metrics(out, "T")
+    assert all(os.path.exists(p) for p in saved)
+    p = plots.plot_prediction_summary(
+        0, out, np.array([[0.7, 0.2, 0.1], [0.1, 0.8, 0.1]]), np.array([0, 2]))
+    assert os.path.exists(p)
+    plots.save_predictions(out, 0, [0.9, 0.2, 0.4], [1, 0, 1])
+    (roc_paths, aucs) = plots.plot_roc(out, "T")
+    assert aucs and all(os.path.exists(p) for p in roc_paths)
+    layer_path = plots.plot_layer_metrics(out, "T")
+    assert os.path.exists(layer_path)
+
+
+# ----------------------------------------------------------- e2e driver
+@pytest.fixture
+def synthetic_tree(tmp_path, monkeypatch):
+    """Slide files + caches + label sheet for the CLI driver."""
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setenv("CACHE_DIR", str(cache))
+    img_dir = tmp_path / "slides"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+
+    import csv
+
+    sheet = tmp_path / "clusters.csv"
+    with open(sheet, "w", newline="") as f:
+        csv.writer(f).writerows([
+            ["id", ""],
+            ["hdr", "Actual Cluster Designation"],
+            ["GHP_1_A", "A"], ["GHP_2_B", "B"], ["GHP_3_C", "C"],
+            ["GHP_5_E", "A"], ["GHP_6_F", "B"], ["GHP_7_G", "C"],
+        ])
+
+    def tissue_tile(shape=(32, 32, 3)):
+        base = np.array([140, 60, 170], np.int16)
+        return np.clip(base + rng.integers(-40, 40, shape), 0, 255).astype(np.uint8)
+
+    names = [f"GHP_{i}_{c}_H&E.scn"
+             for i, c in [(1, "A"), (2, "B"), (3, "C"),
+                          (5, "E"), (6, "F"), (7, "G")]]
+    for name in names:
+        path = img_dir / name
+        path.write_bytes(b"fake")
+        base = name.split(".")[0] + "." + name.split(".")[1] \
+            if False else os.path.split(str(path))[1].split(".")[0]
+        tiles = np.stack([tissue_tile() for _ in range(24)])
+        coords = np.stack([[i * 32, 0] for i in range(24)])
+        np.save(cache / f"data_{base}_rois_size32_hsvcut_v3.npy", tiles)
+        np.save(cache / f"coor_{base}_rois_size32_hsvcut_v3.npy", coords)
+    return tmp_path
+
+
+def _patch_roi32(monkeypatch):
+    import deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.dataset as dmod
+
+    orig = dmod.RoiBuilder
+
+    def rb32(file, params):
+        params = dict(params)
+        params["roi_size"] = 32
+        return orig(file, params)
+
+    monkeypatch.setattr(dmod, "RoiBuilder", rb32)
+
+
+def test_classify_cli_end_to_end(synthetic_tree, tmp_path, monkeypatch):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "SMOKE", "--arch", "tiny", "--resolution", "16",
+        "--epoch_start", "0", "--epoch_end", "0", "--accum", "2",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32",
+    ])
+    assert rc == 0
+    run = out_root / "run_SMOKE"
+    assert (run / "model_structure.txt").exists()
+    assert (run / "train_step-000.model").exists()
+    summaries = [f for f in os.listdir(run) if f.endswith("summary.json")]
+    assert summaries
+    with open(run / summaries[0]) as f:
+        stats = json.load(f)
+    for key in ("train_loss", "train_err", "valid_loss", "valid_acc",
+                "coef_a1", "model_max_weights"):
+        assert key in stats
+    heat = run / "heatmaps"
+    assert any(f.endswith("-heatmap.pdf") for f in os.listdir(heat))
+
+    # --test_only resumes from the checkpoint and exits after validation
+    rc = classify.main([
+        "--tag", "SMOKE2", "--arch", "tiny", "--resolution", "16",
+        "--test_only", "--ckpt", str(run / "train_step-000.model"),
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32",
+    ])
+    assert rc == 0
+
+
+def test_classify_cli_interface_mode(synthetic_tree, tmp_path, monkeypatch):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "IF", "--arch", "tiny", "--resolution", "16", "--interface",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32", "--n_vis", "1",
+    ])
+    assert rc == 0
+    iface = out_root / "interface_data"
+    assert (iface / "manifest_img.csv").exists()
+    assert (iface / "manifest_heat.csv").exists()
+    assert (iface / "GBMresult_probs_class.csv").exists()
+    assert (iface / "GBMdata_slideEBs_class.csv").exists()
+    dlas = [f for f in os.listdir(iface) if f.endswith(".dla")]
+    assert len(dlas) >= 4
