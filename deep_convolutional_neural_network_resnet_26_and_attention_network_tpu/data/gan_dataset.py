@@ -1,0 +1,83 @@
+"""Image datasets for GAN pretraining.
+
+Replaces the reference's LMDB-backed MultiResolutionDataset (reference:
+style-based-gan-pytorch-master-512/dataset.py:8-40) and the missing
+``BCSingleBagDatasetSimple`` streamer (imported at
+style-based-gan-pytorch-master-512/train.py:18) with one folder-backed
+dataset: images (or tile-cache ``.npy`` stacks) under a directory, resized
+per resolution on device, iterated as [B, s, s, 3] float32 batches in
+[-1, 1] — the same ``NewResolution(size, batch)`` surface the GAN trainer
+calls (reference: train.py:37).
+"""
+
+import glob
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import transforms
+
+
+class ImageFolderDataset:
+    """All images under root (png/jpg/tif) and/or tile stacks (*.npy)."""
+
+    EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff")
+
+    def __init__(self, root: str, *, seed: int | None = None,
+                 max_items: int | None = None):
+        self.root = root
+        self._rng = np.random.default_rng(seed)
+        self.files = sorted(
+            f for f in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if f.lower().endswith(self.EXTS + (".npy",)))
+        if max_items:
+            self.files = self.files[:max_items]
+        if not self.files:
+            raise FileNotFoundError(f"no images under {root}")
+        self.resolution = None
+        self.batch_size = 4
+
+    def NewResolution(self, image_size: int, batch_size: int = 4):
+        self.resolution = int(image_size)
+        self.batch_size = int(batch_size)
+
+    def _load(self, path: str) -> np.ndarray:
+        if path.endswith(".npy"):
+            arr = np.load(path, mmap_mode="r")
+            if arr.ndim == 4:  # tile stack: random tile
+                arr = arr[int(self._rng.integers(0, arr.shape[0]))]
+            return np.asarray(arr, np.uint8)
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+
+    def __len__(self):
+        return len(self.files)
+
+    def batches(self, *, shuffle: bool = True, drop_last: bool = True):
+        """Yield [B, res, res, 3] float32 batches in [-1, 1]."""
+        if self.resolution is None:
+            raise RuntimeError("call NewResolution(size, batch) first")
+        order = np.arange(len(self.files))
+        if shuffle:
+            self._rng.shuffle(order)
+        batch = []
+        for idx in order:
+            batch.append(self._load(self.files[int(idx)]))
+            if len(batch) == self.batch_size:
+                yield self._finalize(batch)
+                batch = []
+        if batch and not drop_last:
+            yield self._finalize(batch)
+
+    def _finalize(self, batch):
+        h = max(b.shape[0] for b in batch)
+        w = max(b.shape[1] for b in batch)
+        stack = np.zeros((len(batch), h, w, 3), np.uint8)
+        for i, b in enumerate(batch):
+            stack[i, :b.shape[0], :b.shape[1]] = b
+        return transforms.eval_transform(jnp.asarray(stack),
+                                         resolution=self.resolution)

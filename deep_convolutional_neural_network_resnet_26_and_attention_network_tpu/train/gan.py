@@ -1,0 +1,341 @@
+"""Progressive-growing WGAN-GP StyleGAN trainer.
+
+Mirrors the reference trainer (reference:
+style-based-gan-pytorch-master-512/train.py:1-323): resolution step =
+epoch // step_every (4 for the 512 run, 10 for the 256 run), alpha fade-in
+by samples seen / phase, per-resolution batch schedule, WGAN-GP loss with
+the 0.001 * real^2 drift term and 10x gradient penalty (double
+differentiation through the discriminator), n_critic generator cadence,
+generator EMA with decay 0.999, style-MLP learning rate x0.01, Adam betas
+(0.0, 0.99), and 5-part checkpoints
+{generator, discriminator, g_optimizer, d_optimizer, g_running}.
+
+TPU-first: one jitted d_step/g_step per resolution step (static shapes per
+step is exactly progressive growing's structure), gradient penalty via
+jax.grad-inside-loss (XLA handles the double-backward), EMA as a tree_map.
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.gan_dataset import ImageFolderDataset
+from ..models import stylegan as sg
+from . import checkpoint
+
+STEP_BATCH_SIZE = {4: 256, 8: 256, 16: 256, 32: 256, 64: 256, 128: 128,
+                   256: 128, 512: 100}  # reference: train.py:61
+
+
+def make_optimizers(lr: float):
+    """Adam(0.0, 0.99); the style-MLP group trains at lr*0.01
+    (reference: train.py:279-291)."""
+    return optax.scale_by_adam(b1=0.0, b2=0.99)
+
+
+def style_lr_mask(params_g):
+    """1.0 for generator params, 0.01 for mapping-MLP params."""
+    return {
+        "generator": jax.tree_util.tree_map(lambda _: 1.0,
+                                            params_g["generator"]),
+        "style": jax.tree_util.tree_map(lambda _: 0.01, params_g["style"]),
+    }
+
+
+def accumulate(ema_params, params, decay: float = 0.999):
+    """g_running EMA (reference: train.py:27-32)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)
+
+
+def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
+                loss_kind: str = "wgan-gp", tx=None):
+    tx = tx or make_optimizers(0.001)
+
+    def d_loss_fn(params_d, params_g, real, zs, sel, alpha, rng):
+        r_drop, r_noise, r_eps, r_drop2, r_drop3 = jax.random.split(rng, 5)
+        real_predict = sg.apply_discriminator(
+            params_d, real, step=step, alpha=alpha, width_mult=width_mult,
+            from_rgb_activate=from_rgb_activate, train=True, rng=r_drop)
+        real_term = real_predict.mean() - 0.001 * (real_predict ** 2).mean()
+
+        noise = sg.make_noise(r_noise, real.shape[0], step)
+        fake = sg.apply_styled_generator(
+            params_g, zs, noise, step=step, alpha=alpha, style_sel=sel,
+            width_mult=width_mult)
+        fake = jax.lax.stop_gradient(fake)
+        fake_predict = sg.apply_discriminator(
+            params_d, fake, step=step, alpha=alpha, width_mult=width_mult,
+            from_rgb_activate=from_rgb_activate, train=True, rng=r_drop2)
+        fake_term = fake_predict.mean()
+
+        # gradient penalty on the real/fake interpolate
+        # (reference: train.py:121-132)
+        eps = jax.random.uniform(r_eps, (real.shape[0], 1, 1, 1))
+        x_hat = eps * real + (1 - eps) * fake
+
+        def d_sum(xh):
+            return sg.apply_discriminator(
+                params_d, xh, step=step, alpha=alpha, width_mult=width_mult,
+                from_rgb_activate=from_rgb_activate, train=True,
+                rng=r_drop3).sum()
+
+        grad_x_hat = jax.grad(d_sum)(x_hat)
+        norms = jnp.sqrt(
+            (grad_x_hat.reshape(grad_x_hat.shape[0], -1) ** 2).sum(axis=1))
+        grad_penalty = 10.0 * ((norms - 1.0) ** 2).mean()
+
+        loss = -real_term + fake_term + grad_penalty
+        aux = {"disc_loss": real_term - fake_term,
+               "grad_penalty": grad_penalty}
+        return loss, aux
+
+    def d_step(params_d, opt_d, params_g, real, zs, sel, alpha, lr, rng):
+        (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            params_d, params_g, real, zs, sel, alpha, rng)
+        updates, opt_d = tx.update(grads, opt_d, params_d)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params_d = optax.apply_updates(params_d, updates)
+        return params_d, opt_d, aux
+
+    return jax.jit(d_step)
+
+
+def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
+                loss_kind: str = "wgan-gp", tx=None):
+    tx = tx or make_optimizers(0.001)
+
+    def g_loss_fn(params_g, params_d, zs, sel, alpha, rng):
+        r_noise, r_drop = jax.random.split(rng)
+        noise = sg.make_noise(r_noise, zs.shape[1], step)
+        fake = sg.apply_styled_generator(
+            params_g, zs, noise, step=step, alpha=alpha, style_sel=sel,
+            width_mult=width_mult)
+        predict = sg.apply_discriminator(
+            params_d, fake, step=step, alpha=alpha, width_mult=width_mult,
+            from_rgb_activate=from_rgb_activate, train=True, rng=r_drop)
+        if loss_kind == "r1":
+            return jax.nn.softplus(-predict).mean(), {}
+        return (-predict).mean(), {}
+
+    def g_step(params_g, opt_g, ema, params_d, zs, sel, alpha, lr, rng):
+        (loss, _), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            params_g, params_d, zs, sel, alpha, rng)
+        updates, opt_g = tx.update(grads, opt_g, params_g)
+        mask = style_lr_mask(params_g)
+        updates = jax.tree_util.tree_map(lambda u, m: -lr * m * u,
+                                         updates, mask)
+        params_g = optax.apply_updates(params_g, updates)
+        ema = accumulate(ema, params_g)
+        return params_g, opt_g, ema, loss
+
+    return jax.jit(g_step)
+
+
+def save_image_grid(images, path: str, nrow: int = 8):
+    """[-1,1] float [N, H, W, 3] -> tiled PNG (torchvision save_image
+    equivalent; reference: train.py:179-192)."""
+    from PIL import Image
+
+    imgs = np.asarray(images)
+    imgs = np.clip((imgs + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    n, h, w, c = imgs.shape
+    ncol = int(math.ceil(n / nrow))
+    grid = np.zeros((ncol * h, nrow * w, c), np.uint8)
+    for i in range(n):
+        r, c_ = divmod(i, nrow)
+        grid[r * h:(r + 1) * h, c_ * w:(c_ + 1) * w] = imgs[i]
+    Image.fromarray(grid).save(path)
+    return path
+
+
+def save_gan_checkpoint(path, params_g, params_d, opt_g, opt_d, g_running):
+    blob = {}
+    for section, tree in [("generator", params_g),
+                          ("discriminator", params_d),
+                          ("g_optimizer", opt_g), ("d_optimizer", opt_d),
+                          ("g_running", g_running)]:
+        blob.update({f"{section}/{k}": v
+                     for k, v in checkpoint._flatten(tree).items()})
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **blob)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return path
+
+
+def load_gan_checkpoint(path, params_g, params_d, opt_g, opt_d, g_running):
+    with np.load(path, allow_pickle=False) as z:
+        blob = {k: z[k] for k in z.files}
+
+    def restore(tree, section):
+        flat = checkpoint._flatten(tree)
+        order = list(flat.keys())
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        new = [jnp.asarray(blob.get(f"{section}/{k}", leaf))
+               for k, leaf in zip(order, leaves)]
+        return jax.tree_util.tree_unflatten(treedef, new)
+
+    return (restore(params_g, "generator"), restore(params_d, "discriminator"),
+            restore(opt_g, "g_optimizer"), restore(opt_d, "d_optimizer"),
+            restore(g_running, "g_running"))
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Progressive Growing of GANs")
+    p.add_argument("--phase", type=int, default=600_000,
+                   help="samples per fade-in phase")
+    p.add_argument("--lr", default=0.001, type=float)
+    p.add_argument("--sched", action="store_true", help="lr/batch scheduling")
+    p.add_argument("--init_size", default=8, type=int)
+    p.add_argument("--max_size", default=512, type=int)
+    p.add_argument("--ckpt", default=None, type=str)
+    p.add_argument("--epoch_start", default=0, type=int)
+    p.add_argument("--no_from_rgb_activate", action="store_true")
+    p.add_argument("--mixing", action="store_true")
+    p.add_argument("--loss", type=str, default="wgan-gp",
+                   choices=["wgan-gp", "r1"])
+    # config the reference hardcoded
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", default=".")
+    p.add_argument("--epochs", default=36, type=int)
+    p.add_argument("--step_every", default=4, type=int,
+                   help="epochs per resolution step (512-run: 4; 256-run: 10)")
+    p.add_argument("--code_size", default=512, type=int)
+    p.add_argument("--width_mult", default=1.0, type=float,
+                   help="channel-width multiplier (tiny models for CI)")
+    p.add_argument("--n_critic", default=1, type=int)
+    p.add_argument("--batch_override", default=None, type=int)
+    p.add_argument("--max_batches", default=None, type=int,
+                   help="cap batches per epoch (smoke tests)")
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+def train_gan(args):
+    import random as py_random
+
+    py_rng = py_random.Random(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+    width = args.width_mult
+    from_rgb_activate = not args.no_from_rgb_activate
+
+    sample_dir = os.path.join(args.output_dir, "sample")
+    ckpt_dir = os.path.join(args.output_dir, "checkpoint")
+    os.makedirs(sample_dir, exist_ok=True)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    k_g, k_d, rng = jax.random.split(rng, 3)
+    params_g = sg.init_styled_generator(k_g, style_dim=args.code_size,
+                                        width_mult=width)
+    params_d = sg.init_discriminator(k_d, width_mult=width,
+                                     from_rgb_activate=from_rgb_activate)
+    g_running = jax.tree_util.tree_map(lambda x: x, params_g)
+
+    tx = make_optimizers(args.lr)
+    opt_g = tx.init(params_g)
+    opt_d = tx.init(params_d)
+
+    if args.ckpt:
+        params_g, params_d, opt_g, opt_d, g_running = load_gan_checkpoint(
+            args.ckpt, params_g, params_d, opt_g, opt_d, g_running)
+        print("Loaded GAN checkpoint", args.ckpt)
+
+    lr_sched = ({128: 0.0015, 256: 0.002, 512: 0.003, 1024: 0.003}
+                if args.sched else {})
+
+    dataset = ImageFolderDataset(args.data_dir, seed=args.seed)
+    max_step = int(math.log2(args.max_size)) - 2
+    n_blocks = len(sg._gen_layout(width))
+
+    step_fns = {}
+    for epoch in range(args.epoch_start, args.epochs):
+        step = min(epoch // args.step_every, max_step)
+        final_progress = (epoch // args.step_every) >= max_step
+        resolution = 4 * 2 ** step
+        batch = args.batch_override or STEP_BATCH_SIZE.get(resolution, 32)
+        lr = lr_sched.get(resolution, args.lr)
+        dataset.NewResolution(resolution, batch)
+
+        if step not in step_fns:
+            step_fns[step] = (
+                make_d_step(step, width_mult=width,
+                            from_rgb_activate=from_rgb_activate,
+                            loss_kind=args.loss, tx=tx),
+                make_g_step(step, width_mult=width,
+                            from_rgb_activate=from_rgb_activate,
+                            loss_kind=args.loss, tx=tx),
+            )
+        d_step, g_step = step_fns[step]
+
+        used_sample = 0
+        disc_loss = gen_loss = gp = 0.0
+        t0 = time.time()
+        for i, real in enumerate(dataset.batches()):
+            if args.max_batches and i >= args.max_batches:
+                break
+            b = real.shape[0]
+            alpha = (1.0 if (resolution == args.init_size and not args.ckpt)
+                     or final_progress
+                     else min(1.0, (used_sample + 1) / args.phase))
+            used_sample += b
+
+            rng, k_z, k_d_step, k_z2, k_g_step = jax.random.split(rng, 5)
+            mixing = args.mixing and py_rng.random() < 0.9
+            zs = jax.random.normal(k_z, (2, b, args.code_size))
+            sel = jnp.asarray(sg.sample_style_sel(
+                py_rng, 2 if mixing else 1, step, n_blocks), jnp.int32)
+
+            params_d, opt_d, aux = d_step(
+                params_d, opt_d, params_g, real, zs, sel,
+                jnp.float32(alpha), jnp.float32(lr), k_d_step)
+            disc_loss = float(aux["disc_loss"])
+            gp = float(aux["grad_penalty"])
+
+            if (i + 1) % args.n_critic == 0:
+                mixing = args.mixing and py_rng.random() < 0.9
+                zs2 = jax.random.normal(k_z2, (2, b, args.code_size))
+                sel2 = jnp.asarray(sg.sample_style_sel(
+                    py_rng, 2 if mixing else 1, step, n_blocks), jnp.int32)
+                params_g, opt_g, g_running, gl = g_step(
+                    params_g, opt_g, g_running, params_d, zs2, sel2,
+                    jnp.float32(alpha), jnp.float32(lr), k_g_step)
+                gen_loss = float(gl)
+
+        print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "
+              f"G {gen_loss:.3f}; D {disc_loss:.3f}; GP {gp:.3f}; "
+              f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")
+
+        # EMA sample grid + 5-part checkpoint (reference: train.py:166-218)
+        rng, k_s, k_n = jax.random.split(rng, 3)
+        zs = jax.random.normal(k_s, (1, min(16, batch), args.code_size))
+        noise = sg.make_noise(k_n, zs.shape[1], step)
+        imgs = sg.apply_styled_generator(
+            g_running, zs, noise, step=step, alpha=1.0, width_mult=width)
+        save_image_grid(imgs, os.path.join(
+            sample_dir, f"e{epoch}_gen.png"), nrow=4)
+        save_gan_checkpoint(
+            os.path.join(ckpt_dir, f"train_step-{epoch}.model"),
+            params_g, params_d, opt_g, opt_d, g_running)
+    return params_g, params_d, g_running
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    print(args)
+    train_gan(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

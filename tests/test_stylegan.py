@@ -1,0 +1,228 @@
+"""StyleGAN tests: op parity vs torch (fused up/down-sample, blur),
+progression shapes, mixing selection, and trainer/generate smoke runs."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+    stylegan as sg,
+)
+
+WM = 1.0 / 32  # tiny width multiplier: channels 16,16,16,16,8,4,4,4,4
+
+
+# ----------------------------------------------------- op parity vs torch
+def test_fused_upsample_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 6, 6, 8)).astype(np.float32)
+    w = rng.standard_normal((5, 5, 8, 4)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+
+    got = np.asarray(sg.fused_upsample(jnp.asarray(x), jnp.asarray(w),
+                                       jnp.asarray(b), padding=2))
+
+    mult = math.sqrt(2.0 / (8 * 5 * 5))
+    wt = torch.from_numpy(w.transpose(2, 3, 0, 1)) * mult  # [in, out, k, k]
+    wt = F.pad(wt, [1, 1, 1, 1])
+    wt = (wt[:, :, 1:, 1:] + wt[:, :, :-1, 1:] + wt[:, :, 1:, :-1]
+          + wt[:, :, :-1, :-1]) / 4
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = F.conv_transpose2d(xt, wt, torch.from_numpy(b), stride=2,
+                              padding=2).numpy().transpose(0, 2, 3, 1)
+    assert got.shape == want.shape == (2, 12, 12, 4)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_downsample_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 12, 12, 4)).astype(np.float32)
+    w = rng.standard_normal((5, 5, 4, 8)).astype(np.float32)
+    b = np.zeros((8,), np.float32)
+
+    got = np.asarray(sg.fused_downsample(jnp.asarray(x), jnp.asarray(w),
+                                         jnp.asarray(b), padding=2))
+    mult = math.sqrt(2.0 / (4 * 5 * 5))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1)) * mult  # [out, in, k, k]
+    wt = F.pad(wt, [1, 1, 1, 1])
+    wt = (wt[:, :, 1:, 1:] + wt[:, :, :-1, 1:] + wt[:, :, 1:, :-1]
+          + wt[:, :, :-1, :-1]) / 4
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = F.conv2d(xt, wt, torch.from_numpy(b), stride=2,
+                    padding=2).numpy().transpose(0, 2, 3, 1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_blur_matches_torch_depthwise():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    got = np.asarray(sg.blur(jnp.asarray(x)))
+    k = torch.tensor([[1., 2., 1.], [2., 4., 2.], [1., 2., 1.]]) / 16.0
+    k = k.view(1, 1, 3, 3).repeat(3, 1, 1, 1)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = F.conv2d(xt, k, padding=1, groups=3).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pixel_and_instance_norm():
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    pn = sg.pixel_norm(z)
+    np.testing.assert_allclose(np.mean(np.asarray(pn) ** 2, axis=-1),
+                               1.0, atol=1e-4)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 5)).astype(np.float32))
+    inorm = np.asarray(sg.instance_norm(x))
+    np.testing.assert_allclose(inorm.mean(axis=(1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(inorm.std(axis=(1, 2)), 1.0, atol=1e-3)
+
+
+def test_minibatch_stddev_adds_constant_plane():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 4, 4, 8)).astype(np.float32))
+    out = np.asarray(sg.minibatch_stddev(x))
+    assert out.shape == (4, 4, 4, 9)
+    plane = out[..., -1]
+    assert np.allclose(plane, plane.ravel()[0])
+
+
+# -------------------------------------------------------------- shapes
+@pytest.mark.parametrize("step", [0, 1, 2])
+def test_generator_discriminator_progression(step):
+    key = jax.random.PRNGKey(0)
+    params_g = sg.init_styled_generator(key, style_dim=32, width_mult=WM)
+    params_d = sg.init_discriminator(key, width_mult=WM)
+    b = 2
+    zs = jax.random.normal(key, (1, b, 32))
+    noise = sg.make_noise(key, b, step)
+    img = sg.apply_styled_generator(params_g, zs, noise, step=step,
+                                    alpha=1.0, width_mult=WM)
+    size = 4 * 2 ** step
+    assert img.shape == (b, size, size, 3)
+    score = sg.apply_discriminator(params_d, img, step=step, alpha=1.0,
+                                   width_mult=WM)
+    assert score.shape == (b, 1)
+    assert np.isfinite(np.asarray(score)).all()
+
+
+def test_alpha_fade_in_blends():
+    key = jax.random.PRNGKey(1)
+    params_g = sg.init_styled_generator(key, style_dim=32, width_mult=WM)
+    zs = jax.random.normal(key, (1, 2, 32))
+    noise = sg.make_noise(key, 2, 1)
+    a0 = sg.apply_styled_generator(params_g, zs, noise, step=1, alpha=0.0,
+                                   width_mult=WM)
+    a1 = sg.apply_styled_generator(params_g, zs, noise, step=1, alpha=1.0,
+                                   width_mult=WM)
+    mid = sg.apply_styled_generator(params_g, zs, noise, step=1, alpha=0.5,
+                                    width_mult=WM)
+    np.testing.assert_allclose(np.asarray(mid),
+                               0.5 * np.asarray(a0) + 0.5 * np.asarray(a1),
+                               atol=1e-5)
+
+
+def test_style_sel_crossover():
+    import random
+
+    rng = random.Random(0)
+    sel = sg.sample_style_sel(rng, 2, step=5, n_blocks=9)
+    assert sel[0] == 0 and max(sel) == 1 and sorted(sel) == sel
+    assert sg.sample_style_sel(rng, 1, step=5, n_blocks=9) == [0] * 9
+
+
+def test_style_mixing_changes_output():
+    key = jax.random.PRNGKey(2)
+    params_g = sg.init_styled_generator(key, style_dim=32, width_mult=WM)
+    zs = jax.random.normal(key, (2, 2, 32))
+    noise = sg.make_noise(key, 2, 2)
+    sel0 = jnp.zeros((9,), jnp.int32)
+    sel_mix = jnp.asarray([0, 0, 1, 1, 1, 1, 1, 1, 1], jnp.int32)
+    img0 = sg.apply_styled_generator(params_g, zs, noise, step=2, alpha=1.0,
+                                     style_sel=sel0, width_mult=WM)
+    img1 = sg.apply_styled_generator(params_g, zs, noise, step=2, alpha=1.0,
+                                     style_sel=sel_mix, width_mult=WM)
+    assert not np.allclose(np.asarray(img0), np.asarray(img1))
+
+
+# ------------------------------------------------------------- training
+@pytest.fixture
+def image_dir(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(12):
+        arr = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        Image.fromarray(arr).save(d / f"im{i}.png")
+    return str(d)
+
+
+def test_gan_trainer_smoke(image_dir, tmp_path):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    out = str(tmp_path / "gan_out")
+    args = gan.build_argparser().parse_args([
+        "--data_dir", image_dir, "--output_dir", out,
+        "--epochs", "2", "--step_every", "1", "--init_size", "4",
+        "--max_size", "8", "--width_mult", str(WM), "--code_size", "32",
+        "--batch_override", "4", "--max_batches", "2", "--phase", "8",
+        "--mixing",
+    ])
+    params_g, params_d, g_running = gan.train_gan(args)
+    assert os.path.exists(os.path.join(out, "checkpoint",
+                                       "train_step-1.model"))
+    samples = os.listdir(os.path.join(out, "sample"))
+    assert any(s.endswith("_gen.png") for s in samples)
+
+    # resume from the 5-part checkpoint
+    tx = gan.make_optimizers(0.001)
+    restored = gan.load_gan_checkpoint(
+        os.path.join(out, "checkpoint", "train_step-1.model"),
+        params_g, params_d, tx.init(params_g), tx.init(params_d), g_running)
+    g2, d2, og2, od2, ema2 = restored
+    leaves_a = jax.tree_util.tree_leaves(params_g)
+    leaves_b = jax.tree_util.tree_leaves(g2)
+    assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+
+
+def test_gan_generate_smoke(image_dir, tmp_path):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+        gan_generate,
+    )
+
+    out = str(tmp_path / "gen_out")
+    os.makedirs(out)
+    key = jax.random.PRNGKey(0)
+    params_g = sg.init_styled_generator(key, style_dim=32, width_mult=WM)
+    params_d = sg.init_discriminator(key, width_mult=WM)
+    tx = gan.make_optimizers(0.001)
+    ckpt = gan.save_gan_checkpoint(
+        os.path.join(out, "ck.model"), params_g, params_d,
+        tx.init(params_g), tx.init(params_d), params_g)
+    rc = gan_generate.main([
+        ckpt, "--size", "8", "--n_row", "2", "--n_col", "2",
+        "--code_size", "32", "--width_mult", str(WM), "--n_mixing", "1",
+        "--output_dir", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "sample.png"))
+    assert os.path.exists(os.path.join(out, "sample_mixing_0.png"))
