@@ -41,10 +41,11 @@ def init_block(key, cin, cout, stride):
     return p
 
 
-def apply_block(p, x, stride, *, compute_dtype=None):
+def apply_block(p, x, stride, *, compute_dtype=None, act_fn=None):
+    act = act_fn or N.leaky_relu
     out = N.conv2d(x, p["conv1"]["w"], p["conv1"]["b"], stride=stride,
                    padding=1, compute_dtype=compute_dtype)
-    out = N.leaky_relu(out)
+    out = act(out)
     out = N.conv2d(out, p["conv2"]["w"], p["conv2"]["b"], stride=1,
                    padding=1, compute_dtype=compute_dtype)
     if "downsample" in p:
@@ -52,7 +53,7 @@ def apply_block(p, x, stride, *, compute_dtype=None):
                             padding=0, compute_dtype=compute_dtype)
     else:
         identity = x
-    return N.leaky_relu(out + identity)
+    return act(out + identity)
 
 
 def init_resnet26(key, *, embed_dim: int = EMBED_DIM,
@@ -81,7 +82,8 @@ def init_resnet26(key, *, embed_dim: int = EMBED_DIM,
     return params
 
 
-def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False):
+def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False,
+                   act_fn=None):
     """Forward: x [N, H, W, 3] -> embeddings [N, embed_dim].
 
     With ``taps=True`` also returns an ordered dict of intermediate
@@ -90,17 +92,19 @@ def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False):
     (PyTorchHelpers.prime_activation_summary/vis call sites:
     gbm/classify_combined.py:369-381,418).
     """
+    act = act_fn or N.leaky_relu
     acts = {}
     h = N.conv2d(x, params["conv1"]["w"], params["conv1"]["b"], stride=2,
                  padding=3, compute_dtype=compute_dtype)
-    h = N.leaky_relu(h)
+    h = act(h)
     h = N.max_pool(h, window=3, stride=2, padding=1)
     if taps:
         acts["stem"] = h
     for stage_idx, stage in enumerate(params["stages"]):
         for b, block in enumerate(stage):
             stride = 2 if (stage_idx > 0 and b == 0) else 1
-            h = apply_block(block, h, stride, compute_dtype=compute_dtype)
+            h = apply_block(block, h, stride, compute_dtype=compute_dtype,
+                            act_fn=act)
         if taps:
             acts[f"stage{stage_idx + 1}"] = h
     h = N.global_avg_pool(h)
