@@ -1,30 +1,46 @@
-"""Headline benchmark: ResNet-26 feature-extractor throughput (tiles/sec/chip).
+"""Benchmarks. Prints ONE JSON line per run:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (no args) is the headline: ResNet-26 feature-extractor throughput
+in tiles/sec/chip vs an equivalent PyTorch-CPU model (the reference
+publishes no machine-readable throughput — BASELINE.md — so the agreed
+target is >=10x torch-CPU on the ResNet-26 forward). The torch baseline is
+built fresh from the architecture spec (narrow no-norm ResNet-26,
+widths 20/40/60/80, LeakyReLU(0.1); reference: gbm/model.py:14-61).
 
-The baseline is the reference's workload run with PyTorch on CPU (the
-reference publishes no machine-readable throughput — BASELINE.md — so the
-agreed target is >=10x PyTorch-CPU tiles/sec/chip on the ResNet-26 forward).
-The torch baseline model is built fresh here from the architecture spec
-(narrow no-norm ResNet-26, widths 20/40/60/80, LeakyReLU(0.1); reference:
-gbm/model.py:14-61) — not imported from the reference tree.
-
-Usage: python bench.py [--quick]
+--config selects the BASELINE.json benchmark configs:
+  1  ResNet-26 tile forward (headline, CPU-runnable)
+  2  attention-MIL bag inference (64-tile bag, fused Pallas pooling on TPU)
+  3  full-slide pipeline: RoiBuilder build -> extract -> pool (synthetic WSI)
+  4  attention heatmap export (visualize panel + .dla maps)
+  5  multi-slide batched throughput, bags sharded over the local mesh
 """
 
 import argparse
 import json
+import os
+import tempfile
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+    attention_mil as amil,
     resnet,
 )
 
-TILE_RES = 300  # live-driver network input resolution (gbm/classify_combined.py:412)
+TILE_RES = 300  # live-driver input resolution (gbm/classify_combined.py:412)
+
+
+def _emit(metric, value, unit, vs_baseline=None):
+    print(json.dumps({
+        "metric": metric, "value": round(float(value), 3), "unit": unit,
+        "vs_baseline": (round(float(vs_baseline), 3)
+                        if vs_baseline is not None else None),
+    }))
 
 
 def _torch_cpu_baseline(batch: int, iters: int, res: int) -> float:
@@ -75,45 +91,183 @@ def _torch_cpu_baseline(batch: int, iters: int, res: int) -> float:
     return batch * iters / dt
 
 
-def _jax_throughput(batch: int, iters: int, res: int) -> float:
+def _staged_inputs(base, n):
+    """n DISTINCT device-resident inputs. The axon runtime caches results
+    for identical (executable, inputs) pairs, and block_until_ready alone
+    does not guarantee materialization over the tunnel — so every timed
+    execution gets a never-seen-before input and the timed region ends with
+    a host fetch."""
+    make = jax.jit(lambda b, i: b * (1.0 + 1e-3 * i))
+    xs = [make(base, jnp.float32(i + 1)) for i in range(n)]
+    float(sum(jnp.sum(x) for x in xs))  # materialize staging
+    return xs
+
+
+def bench_resnet_forward(quick: bool):
+    platform = jax.devices()[0].platform
+    if quick or platform == "cpu":
+        jbatch, jiters, tbatch, titers = 32, 4, 4, 2
+    else:
+        jbatch, jiters, tbatch, titers = 256, 16, 8, 3
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
-    fwd = jax.jit(lambda p, x: resnet.apply_resnet26(p, x,
-                                                     compute_dtype=jnp.bfloat16))
-    x = jnp.asarray(np.random.rand(batch, res, res, 3), jnp.float32)
-    jax.block_until_ready(fwd(params, x))  # compile + warmup
-    jax.block_until_ready(fwd(params, x))
+    fwd = jax.jit(lambda p, x: resnet.apply_resnet26(
+        p, x, compute_dtype=jnp.bfloat16))
+    base = jnp.asarray(np.random.rand(jbatch, TILE_RES, TILE_RES, 3),
+                       jnp.float32)
+    xs = _staged_inputs(base, jiters)
+    float(jnp.sum(fwd(params, base)))  # compile + warmup (distinct input)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
+    outs = [fwd(params, x) for x in xs]
+    float(sum(jnp.sum(o) for o in outs))  # force materialization
+    tiles_per_sec = jbatch * jiters / (time.perf_counter() - t0)
+    try:
+        baseline = _torch_cpu_baseline(tbatch, titers, TILE_RES)
+        vs = tiles_per_sec / baseline
+    except Exception:
+        vs = None
+    _emit("resnet26_forward_tiles_per_sec_per_chip", tiles_per_sec,
+          f"tiles/sec ({TILE_RES}x{TILE_RES}, bf16, {platform})", vs)
+
+
+def bench_bag_inference(quick: bool):
+    platform = jax.devices()[0].platform
+    cfg = amil.MILConfig()
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    T = 64
+    res = 128 if (quick or platform == "cpu") else TILE_RES
+    iters = 3 if (quick or platform == "cpu") else 20
+    base = jnp.asarray(np.random.rand(T, res, res, 3), jnp.float32)
+    mask = jnp.ones((T,), jnp.float32)
+    use_pallas = platform == "tpu"
+    fwd = jax.jit(lambda p, t, m: amil.apply_attention_mil(
+        p, t, 0, cfg, mask=m, train=False, compute_dtype=jnp.bfloat16,
+        use_pallas_pool=use_pallas)["y_pred"])
+    bags = _staged_inputs(base, iters)
+    float(jnp.sum(fwd(params, base, mask)))  # compile + warmup
+    t0 = time.perf_counter()
+    outs = [fwd(params, b, mask) for b in bags]
+    float(sum(jnp.sum(o) for o in outs))
+    bags_per_sec = iters / (time.perf_counter() - t0)
+    _emit("attention_mil_64tile_bags_per_sec", bags_per_sec,
+          f"bags/sec ({T}x{res}x{res}, bf16, pallas_pool={use_pallas}, "
+          f"{platform})")
+
+
+def _synthetic_builder(tmpdir, *, size, roi, seed=0):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+        slide_io,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = np.array([140, 60, 170], np.int16)
+    img = np.clip(base + rng.integers(-40, 40, (size, size, 3)), 0,
+                  255).astype(np.uint8)
+    os.environ["CACHE_DIR"] = tmpdir
+    path = slide_io.write_synthetic_slide(
+        os.path.join(tmpdir, f"bench_slide_{seed}.npy"), img)
+    return roibuilder.RoiBuilder(path, {"roi_size": roi})
+
+
+def bench_full_slide(quick: bool):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        inference,
+    )
+
+    platform = jax.devices()[0].platform
+    small = quick or platform == "cpu"
+    size, roi, res = (600, 128, 64) if small else (6000, 1200, TILE_RES)
+    cfg = (amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+           if small else amil.MILConfig())
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        builder = _synthetic_builder(tmpdir, size=size, roi=roi, seed=0)
+        warm = _synthetic_builder(tmpdir, size=size, roi=roi, seed=1)
+        warm.build()
+        inference.classify_slide(params, cfg, warm, resolution=res)  # compile
+        t0 = time.perf_counter()
+        builder.build()
+        build_secs = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        probs, outs, coords = inference.classify_slide(
+            params, cfg, builder, resolution=res)
+        probs.sum()  # numpy already materialized; keep for clarity
+        infer_secs = time.perf_counter() - t0
+    total = build_secs + infer_secs
+    _emit("full_slide_pipeline_slides_per_min", 60.0 / total,
+          f"slides/min ({builder.getsize()} tiles @ {roi}px, build "
+          f"{build_secs:.2f}s + infer {infer_secs:.2f}s, {platform})")
+
+
+def bench_heatmap_export(quick: bool):
+    import io
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        heatmap,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.utils import (
+        helpers,
+    )
+
+    rng = np.random.default_rng(0)
+    T = 120
+    img_data = rng.integers(0, 256, (T, 64, 64, 3), np.uint8)
+    raster = np.stack([[(i // 12) * 1200, (i % 12) * 1200] for i in range(T)])
+    A = rng.random((3, T))
+    F = rng.random((T, 80))
+    M = rng.random((3, 1))
+    with tempfile.TemporaryDirectory() as tmpdir:
+        t0 = time.perf_counter()
+        heatmap.create_map("bench", 0, "Last", img_data, raster, A, F, M,
+                           roi_size=1200, output_dir=tmpdir)
+        helpers.write_map({"basename": "bench"}, 0, raster, A,
+                          io.StringIO(), tmpdir)
+        dt = time.perf_counter() - t0
+    _emit("heatmap_export_maps_per_sec", 1.0 / dt,
+          f"panel+4dla per sec ({T} tiles)")
+
+
+def bench_multislide_sharded(quick: bool):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        inference,
+        mesh as M,
+    )
+
+    platform = jax.devices()[0].platform
+    n_dev = len(jax.devices())
+    small = quick or platform == "cpu"
+    cfg = (amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+           if small else amil.MILConfig())
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    B = max(2, n_dev)
+    T, res = (16, 64) if small else (64, TILE_RES)
+    iters = 2 if small else 3
+    rng = np.random.default_rng(0)
+    mesh = M.make_mesh(n_dev) if n_dev > 1 else None
+    infer = inference.make_batched_infer(cfg, mesh)
+    base_tiles = jnp.asarray(rng.random((B, T, res, res, 3)), jnp.float32)
+    masks = jnp.ones((B, T), jnp.float32)
+    # fresh device-resident inputs per execution (see _staged_inputs)
+    variants = _staged_inputs(base_tiles, iters)
+    float(jnp.sum(infer(params, base_tiles, masks)["y_pred"]))  # compile
+    t0 = time.perf_counter()
+    outs = [infer(params, v, masks) for v in variants]
+    float(sum(jnp.sum(o["y_pred"]) for o in outs))
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    tiles_per_sec = B * T * iters / dt
+    _emit("sharded_multislide_tiles_per_sec", tiles_per_sec,
+          f"tiles/sec ({B} bags x {T} tiles @ {res}px over {n_dev} "
+          f"{platform} devices)")
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="small iteration counts")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--config", type=int, default=1, choices=range(1, 6))
     args = ap.parse_args()
-
-    platform = jax.devices()[0].platform
-    if args.quick or platform == "cpu":
-        jbatch, jiters, tbatch, titers = 32, 5, 4, 2
-    else:
-        jbatch, jiters, tbatch, titers = 256, 20, 8, 3
-
-    tiles_per_sec = _jax_throughput(jbatch, jiters, TILE_RES)
-    try:
-        baseline = _torch_cpu_baseline(tbatch, titers, TILE_RES)
-    except Exception:
-        baseline = float("nan")
-
-    vs = tiles_per_sec / baseline if baseline == baseline else None
-    print(json.dumps({
-        "metric": "resnet26_forward_tiles_per_sec_per_chip",
-        "value": round(tiles_per_sec, 2),
-        "unit": f"tiles/sec ({TILE_RES}x{TILE_RES}, bf16, {platform})",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-    }))
+    [bench_resnet_forward, bench_bag_inference, bench_full_slide,
+     bench_heatmap_export, bench_multislide_sharded][args.config - 1](
+        args.quick)
 
 
 if __name__ == "__main__":

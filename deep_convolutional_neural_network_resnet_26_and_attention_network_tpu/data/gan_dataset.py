@@ -81,3 +81,9 @@ class ImageFolderDataset:
             stack[i, :b.shape[0], :b.shape[1]] = b
         return transforms.eval_transform(jnp.asarray(stack),
                                          resolution=self.resolution)
+
+
+# The GAN trainers import this name for the (missing) breast-cancer bag
+# streamer (reference: style-based-gan-pytorch-master-512/train.py:18,306);
+# the folder dataset provides the same NewResolution/iteration surface.
+BCSingleBagDatasetSimple = ImageFolderDataset

@@ -113,8 +113,15 @@ class RoiBuilder:
             return True
 
         img = slide_io.read_slide(self.params["fullpath"])
-        tiles, coords = tissue.extract_tissue_tiles(
-            img, self.params["roi_size"], self.params["padding"])
+        from . import native
+
+        if native.available():
+            # C++ filter+gather (OpenMP over tiles) for the host hot loop
+            tiles, coords = native.extract_tissue_tiles_native(
+                img, self.params["roi_size"], self.params["padding"])
+        else:
+            tiles, coords = tissue.extract_tissue_tiles(
+                img, self.params["roi_size"], self.params["padding"])
         np.save(self.params["data_cache"], tiles)
         np.save(self.params["coor_cache"], coords)
         self.params["ntiles"] = len(coords)

@@ -101,7 +101,7 @@ def _subsample(tiles, mask, fraction, rng):
 
 
 def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
-                   train: bool = False):
+                   train: bool = False, use_pallas_pool: bool = False):
     """Everything after the CNN: context, gated attention, pooling, logits.
 
     H: [T, L] float32 features. Returns a dict of intermediates.
@@ -119,16 +119,32 @@ def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
                      a["lin2"]["w"], a["lin2"]["b"])          # [T, K]
 
     wm = params["weight_mask"]
-    A_act = N.softplus(A_raw)
-    A_gated = jax.nn.sigmoid(-10.0 * wm) * A_act + jax.nn.sigmoid(10.0 * wm)
+    b = params["buffer"]
+    Bterm = N.linear(N.leaky_relu(N.linear(Hm0, b["lin1"]["w"], b["lin1"]["b"])),
+                     b["classifier"]["w"], b["classifier"]["b"])  # [T, O]
+
     if mask is not None:
-        m = mask[:, None].astype(A_gated.dtype)
-        A_gated = A_gated * m
-        A_raw_m = A_raw * m
+        A_raw_m = A_raw * mask[:, None].astype(A_raw.dtype)
     else:
         A_raw_m = A_raw
-    A_1 = N.l1_normalize(A_gated, axis=0)                     # [T, K]
-    A_1T = A_1.T                                              # [K, T]
+
+    if use_pallas_pool:
+        # fused serving path: softplus+gate+L1-norm+pool in one VMEM pass
+        from ..ops.pallas_pool import gated_attention_pool
+
+        m_vec = (mask if mask is not None
+                 else jnp.ones((A_raw.shape[0],), A_raw.dtype))
+        Mterm, A_1T, _wrois = gated_attention_pool(
+            A_raw.astype(jnp.float32), Bterm.astype(jnp.float32),
+            m_vec.astype(jnp.float32), wm.astype(jnp.float32))
+    else:
+        A_act = N.softplus(A_raw)
+        A_gated = (jax.nn.sigmoid(-10.0 * wm) * A_act
+                   + jax.nn.sigmoid(10.0 * wm))
+        if mask is not None:
+            A_gated = A_gated * mask[:, None].astype(A_gated.dtype)
+        A_1 = N.l1_normalize(A_gated, axis=0)                 # [T, K]
+        A_1T = A_1.T                                          # [K, T]
 
     # Decorrelation + mean diagnostics (reference: gbm/model.py:216-219)
     A_2 = N.l2_normalize(A_raw_m, axis=0)                     # [T, K]
@@ -136,11 +152,8 @@ def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
     Aterm_var = jnp.mean((A_2.T @ A_2) * off_diag)
     Aterm_mu = 0.5 * jnp.sum(N.masked_mean(A_raw, mask, axis=0) ** 2)
 
-    b = params["buffer"]
-    Bterm = N.linear(N.leaky_relu(N.linear(Hm0, b["lin1"]["w"], b["lin1"]["b"])),
-                     b["classifier"]["w"], b["classifier"]["b"])  # [T, O]
-
-    Mterm = A_1T @ Bterm                                      # [K, O]
+    if not use_pallas_pool:
+        Mterm = A_1T @ Bterm                                  # [K, O]
     wROIs = A_1T * Bterm[:, 0][None, :]                       # [K, T]
     logits = Mterm.reshape(1, cfg.K * cfg.O)                  # [1, K]
     return {
@@ -151,7 +164,7 @@ def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
 
 def apply_attention_mil(params, tiles, label, cfg: MILConfig = MILConfig(), *,
                         mask=None, train: bool = False, rng=None,
-                        compute_dtype=None):
+                        compute_dtype=None, use_pallas_pool: bool = False):
     """Full bag forward. tiles: [T, H, W, 3] NHWC; label: int scalar;
     mask: optional [T] validity (1 = real tile). Returns the 13-key dict.
     """
@@ -175,7 +188,8 @@ def apply_attention_mil(params, tiles, label, cfg: MILConfig = MILConfig(), *,
 
     KLD = 0.5 * N.masked_mean((H ** 2).mean(axis=1), mask, axis=0)
 
-    pooled = attention_pool(params, H, cfg, mask=mask, rng=rng_do, train=train)
+    pooled = attention_pool(params, H, cfg, mask=mask, rng=rng_do,
+                            train=train, use_pallas_pool=use_pallas_pool)
     logits = pooled["logits"]
     y_pred = jax.nn.softmax(logits, axis=1)
     y_pred_hat = jnp.argmax(y_pred)

@@ -97,11 +97,12 @@ def make_train_step(cfg: amil.MILConfig, tx=None, *, compute_dtype=None,
 
 
 def make_bag_forward(cfg: amil.MILConfig, *, train: bool = False,
-                     compute_dtype=None):
+                     compute_dtype=None, use_pallas_pool: bool = False):
     """Jitted single-bag forward: fn(params, tiles, mask, label[, rng]) -> dict.
 
     Retraces once per padded bucket size; used by the sequential driver
-    (validate / visualize / interface paths)."""
+    (validate / visualize / interface paths). ``use_pallas_pool`` switches
+    the eval path onto the fused Pallas pooling kernel (TPU serving)."""
 
     if train:
         def fwd(params, tiles, mask, label, rng):
@@ -112,7 +113,8 @@ def make_bag_forward(cfg: amil.MILConfig, *, train: bool = False,
         def fwd(params, tiles, mask, label):
             return amil.apply_attention_mil(params, tiles, label, cfg,
                                             mask=mask, train=False,
-                                            compute_dtype=compute_dtype)
+                                            compute_dtype=compute_dtype,
+                                            use_pallas_pool=use_pallas_pool)
     return jax.jit(fwd)
 
 

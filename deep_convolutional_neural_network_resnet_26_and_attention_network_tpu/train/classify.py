@@ -350,6 +350,11 @@ def main(argv=None):
     cfg = make_config(args, class_weights)
     driver = Driver(args, cfg, output_dir)
 
+    if args.ckpt == "auto":
+        # elastic resume: pick up the newest checkpoint in the run dir
+        args.ckpt = checkpoint.latest_checkpoint(output_dir)
+        if args.ckpt:
+            print(f"Auto-resume from {args.ckpt}")
     if args.ckpt is not None:
         params, loaded, skipped = checkpoint.restore_params(
             driver.state.params, args.ckpt, transfer=args.transfer)

@@ -150,6 +150,61 @@ def plot_kernels(params, epoch: int, step, *, output_dir: str = ".",
     return None
 
 
+def plot_layer_summary(params, path=None):
+    """Per-layer weight mean/max bar chart (plot_layer_summary call site:
+    gbm/classify.py:324)."""
+    names, means, maxes = [], [], []
+    for name, w in named_parameters(params):
+        names.append(name)
+        means.append(float(np.abs(w).mean()))
+        maxes.append(float(np.abs(w).max()))
+    fig = plt.figure(figsize=(max(6, len(names) * 0.4), 4))
+    xs = np.arange(len(names))
+    plt.bar(xs - 0.2, means, width=0.4, label="mean |w|")
+    plt.bar(xs + 0.2, maxes, width=0.4, label="max |w|")
+    plt.xticks(xs, names, rotation=90, fontsize=5)
+    plt.legend()
+    plt.tight_layout()
+    if path:
+        plt.savefig(path)
+    plt.close(fig)
+    return dict(zip(names, zip(means, maxes)))
+
+
+def plot_attn_flow(attention_weights, path=None):
+    """Per-map attention-weight distributions over tiles (plot_attn_flow
+    call site: gbm/classify.py:325). attention_weights: [K, T]."""
+    a = np.asarray(attention_weights)
+    fig, axes = plt.subplots(1, a.shape[0], figsize=(4 * a.shape[0], 3))
+    for k, ax in enumerate(np.atleast_1d(axes)):
+        ax.hist(a[k], bins=40)
+        ax.set_title(f"map {k}")
+        ax.set_xlabel("attention weight")
+    plt.tight_layout()
+    if path:
+        plt.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def plot_bag_flow(bag_sizes, losses=None, path=None):
+    """Bag-size (tiles/slide) trajectory with optional loss overlay
+    (plot_bag_flow call site: gbm/classify.py:327)."""
+    fig, ax1 = plt.subplots(figsize=(8, 3))
+    ax1.plot(bag_sizes, "C0")
+    ax1.set_ylabel("tiles/bag", color="C0")
+    ax1.set_xlabel("step")
+    if losses is not None:
+        ax2 = ax1.twinx()
+        ax2.plot(losses, "C1")
+        ax2.set_ylabel("loss", color="C1")
+    plt.tight_layout()
+    if path:
+        plt.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def plot_grad_flow(grads, path=None):
     """Mean |grad| per layer bar chart (plot_grad_flow call site:
     gbm/classify.py:326)."""

@@ -1,0 +1,107 @@
+"""Fused Pallas pooling kernel parity + sharded inference paths."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+    attention_mil as amil,
+)
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.ops import (
+    nn as N,
+    pallas_pool,
+)
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+    inference,
+    mesh as M,
+)
+
+TINY = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+
+
+def _reference_pool(a_raw, b, mask, wm):
+    act = jax.nn.softplus(a_raw)
+    gated = (jax.nn.sigmoid(-10.0 * wm) * act + jax.nn.sigmoid(10.0 * wm))
+    gated = gated * mask[:, None]
+    a1 = N.l1_normalize(gated, axis=0)
+    return a1.T @ b, a1.T, a1.T * b[:, 0][None, :]
+
+
+@pytest.mark.parametrize("t,k,o", [(64, 3, 1), (100, 3, 1), (7, 5, 2)])
+def test_pallas_pool_matches_reference(t, k, o):
+    rng = np.random.default_rng(0)
+    a_raw = jnp.asarray(rng.standard_normal((t, k)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((t, o)), jnp.float32)
+    mask = jnp.asarray((rng.random(t) > 0.3).astype(np.float32))
+    wm = jnp.asarray(rng.standard_normal((k,)), jnp.float32)
+
+    m_got, a1t_got, w_got = pallas_pool.gated_attention_pool(a_raw, b, mask, wm)
+    m_want, a1t_want, w_want = _reference_pool(a_raw, b, mask, wm)
+    np.testing.assert_allclose(np.asarray(m_got), np.asarray(m_want),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1t_got), np.asarray(a1t_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_got), np.asarray(w_want),
+                               atol=1e-6)
+
+
+def test_model_pallas_pool_path_matches_default():
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(1)
+    tiles = jnp.asarray(rng.random((24, 32, 32, 3)), jnp.float32)
+    mask = jnp.ones((24,), jnp.float32).at[20:].set(0.0)
+    out_a = amil.apply_attention_mil(params, tiles, 1, TINY, mask=mask,
+                                     train=False)
+    out_b = amil.apply_attention_mil(params, tiles, 1, TINY, mask=mask,
+                                     train=False, use_pallas_pool=True)
+    np.testing.assert_allclose(np.asarray(out_a["y_pred"]),
+                               np.asarray(out_b["y_pred"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a["Mterm"]),
+                               np.asarray(out_b["Mterm"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a["Aterm"]),
+                               np.asarray(out_b["Aterm"]), atol=1e-5)
+
+
+def test_classify_slides_batched_sharded_matches_single():
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(2)
+    bags = [rng.random((t, 32, 32, 3)).astype(np.float32)
+            for t in (10, 16, 13, 16)]
+    mesh = M.make_mesh(8)
+    probs_sharded, _ = inference.classify_slides_batched(
+        params, TINY, bags, mesh=mesh, compute_dtype=None)
+    probs_single, _ = inference.classify_slides_batched(
+        params, TINY, bags, mesh=None, compute_dtype=None)
+    np.testing.assert_allclose(probs_sharded, probs_single, atol=1e-5)
+    # and vs the unpadded per-bag forward
+    for bag, p_row in zip(bags, probs_single):
+        out = amil.apply_attention_mil(params, jnp.asarray(bag), 0, TINY,
+                                       train=False)
+        np.testing.assert_allclose(p_row, np.asarray(out["y_pred"]).ravel(),
+                                   atol=1e-4)
+
+
+def test_classify_slide_full_pipeline(tmp_path, monkeypatch):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+        slide_io,
+    )
+
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(3)
+    base = np.array([140, 60, 170], np.int16)
+    img = np.clip(base + rng.integers(-40, 40, (300, 300, 3)), 0,
+                  255).astype(np.uint8)
+    path = slide_io.write_synthetic_slide(str(tmp_path / "s.npy"), img)
+    builder = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    builder.build()
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    probs, outs, coords = inference.classify_slide(
+        params, TINY, builder, resolution=32, compute_dtype=None,
+        use_pallas_pool=False)
+    assert probs.shape == (3,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    assert outs["Aterm"].shape[1] == len(coords) == builder.getsize()
