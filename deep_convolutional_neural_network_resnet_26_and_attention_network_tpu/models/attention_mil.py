@@ -52,6 +52,7 @@ class MILConfig:
     smoothing: float = 0.25
     dropout: float = 0.25
     train_tile_fraction: float = 0.2
+    remat: bool = False  # checkpoint resnet blocks (large training bags)
     class_weights: Optional[Tuple[float, ...]] = None
     widths: Tuple[int, ...] = resnet.WIDTHS
     blocks: Tuple[int, ...] = resnet.BLOCKS_PER_STAGE
@@ -183,7 +184,8 @@ def apply_attention_mil(params, tiles, label, cfg: MILConfig = MILConfig(), *,
     # (reference: gbm/model.py:194) — a no-op for data inputs, kept for
     # clarity when tiles are produced by an upstream learnable transform.
     H = resnet.apply_resnet26(params["cnn"], jax.lax.stop_gradient(tiles),
-                              compute_dtype=compute_dtype)    # [T, L]
+                              compute_dtype=compute_dtype,
+                              remat=cfg.remat and train)      # [T, L]
     H = H.astype(jnp.float32)
 
     KLD = 0.5 * N.masked_mean((H ** 2).mean(axis=1), mask, axis=0)

@@ -83,7 +83,7 @@ def init_resnet26(key, *, embed_dim: int = EMBED_DIM,
 
 
 def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False,
-                   act_fn=None):
+                   act_fn=None, remat: bool = False):
     """Forward: x [N, H, W, 3] -> embeddings [N, embed_dim].
 
     With ``taps=True`` also returns an ordered dict of intermediate
@@ -91,6 +91,10 @@ def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False,
     replacement for the reference's forward hooks
     (PyTorchHelpers.prime_activation_summary/vis call sites:
     gbm/classify_combined.py:369-381,418).
+
+    ``remat=True`` checkpoints each residual block (jax.checkpoint), trading
+    recompute for activation memory — full-width 2500-tile training bags
+    don't fit 16 GB HBM otherwise.
     """
     act = act_fn or N.leaky_relu
     acts = {}
@@ -100,11 +104,22 @@ def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False,
     h = N.max_pool(h, window=3, stride=2, padding=1)
     if taps:
         acts["stem"] = h
+    def block_fn(p, x, stride):
+        if remat:
+            # close over the non-array args; only pytrees cross the
+            # checkpoint boundary
+            return jax.checkpoint(
+                lambda pp, xx: apply_block(pp, xx, stride,
+                                           compute_dtype=compute_dtype,
+                                           act_fn=act),
+                policy=jax.checkpoint_policies.nothing_saveable)(p, x)
+        return apply_block(p, x, stride, compute_dtype=compute_dtype,
+                           act_fn=act)
+
     for stage_idx, stage in enumerate(params["stages"]):
         for b, block in enumerate(stage):
             stride = 2 if (stage_idx > 0 and b == 0) else 1
-            h = apply_block(block, h, stride, compute_dtype=compute_dtype,
-                            act_fn=act)
+            h = block_fn(block, h, stride)
         if taps:
             acts[f"stage{stage_idx + 1}"] = h
     h = N.global_avg_pool(h)

@@ -73,18 +73,20 @@ def build_argparser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--f32", action="store_true",
                    help="disable bf16 conv/matmul compute")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint resnet blocks to fit large training bags")
     p.add_argument("--n_vis", default=8, type=int,
                    help="slides visualized every 10 epochs")
     return p
 
 
 def make_config(args, class_weights=None) -> amil.MILConfig:
+    cw = tuple(class_weights) if class_weights is not None else None
+    remat = getattr(args, "remat", False)
     if args.arch == "tiny":
         return amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1),
-                              class_weights=tuple(class_weights)
-                              if class_weights is not None else None)
-    return amil.MILConfig(class_weights=tuple(class_weights)
-                          if class_weights is not None else None)
+                              class_weights=cw, remat=remat)
+    return amil.MILConfig(class_weights=cw, remat=remat)
 
 
 class Driver:
