@@ -43,6 +43,48 @@ def classify_slide(params, cfg: amil.MILConfig, builder, *,
     return np.asarray(outs["y_pred"]).ravel(), outs, coords
 
 
+def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
+                             resolution: int = 300, chunk: int = 256,
+                             compute_dtype=jnp.bfloat16):
+    """Unbounded-slide inference: stream tile chunks through the extractor,
+    then pool once over the tiny [T, L] feature matrix.
+
+    The bag never materializes as [T, res, res, 3] on device — only one
+    chunk of tiles plus the accumulated features (T x L floats, ~100 KB for
+    2500 tiles) are resident, so slides with 50k+ tiles classify on one
+    chip. Exact, not approximate: MIL pooling is linear over tiles, and the
+    per-bag batch-norm uses global feature statistics computed after the
+    streaming pass (SURVEY.md §5's 'bag-dimension sharding' argument, in
+    time instead of space). Returns (probs, outputs dict, coords)."""
+    from ..data import transforms
+    from ..models import resnet
+
+    if builder.params.get("resolution") != resolution:
+        builder.update_resolution_and_buffer(resolution)
+    raw, coords = builder._load_cache(with_coords=True)
+
+    extract = jax.jit(lambda p, t: resnet.apply_resnet26(
+        p, t, compute_dtype=compute_dtype).astype(jnp.float32))
+
+    feats = []
+    for start in range(0, raw.shape[0], chunk):
+        part = raw[start:start + chunk]
+        valid = part.shape[0]
+        if valid < chunk:
+            part = np.pad(part, [(0, chunk - valid)] + [(0, 0)] * 3)
+        tiles = transforms.eval_transform(jnp.asarray(part),
+                                          resolution=resolution)
+        feats.append(extract(params["cnn"], tiles)[:valid])
+    H = jnp.concatenate(feats, axis=0)
+
+    pool = jax.jit(lambda p, h: amil.attention_pool(p, h, cfg, train=False))
+    pooled = pool(params, H)
+    probs = jax.nn.softmax(pooled["logits"], axis=1)
+    outs = {**pooled, "y_pred": probs,
+            "y_pred_hat": jnp.argmax(probs), "Fterm": H}
+    return np.asarray(probs).ravel(), outs, coords
+
+
 def make_batched_infer(cfg: amil.MILConfig, mesh=None, *,
                        compute_dtype=jnp.bfloat16):
     """Jitted batched inference fn(params, tiles [B,T,H,W,3], masks [B,T])

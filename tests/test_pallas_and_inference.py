@@ -105,3 +105,30 @@ def test_classify_slide_full_pipeline(tmp_path, monkeypatch):
     assert probs.shape == (3,)
     np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
     assert outs["Aterm"].shape[1] == len(coords) == builder.getsize()
+
+
+def test_classify_slide_streaming_matches_onepass(tmp_path, monkeypatch):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+        slide_io,
+    )
+
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(4)
+    base = np.array([140, 60, 170], np.int16)
+    img = np.clip(base + rng.integers(-40, 40, (400, 400, 3)), 0,
+                  255).astype(np.uint8)
+    path = slide_io.write_synthetic_slide(str(tmp_path / "s2.npy"), img)
+    builder = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    builder.build()
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+
+    p_stream, outs_s, coords_s = inference.classify_slide_streaming(
+        params, TINY, builder, resolution=32, chunk=7, compute_dtype=None)
+    p_once, outs_o, coords_o = inference.classify_slide(
+        params, TINY, builder, resolution=32, compute_dtype=None,
+        use_pallas_pool=False)
+    np.testing.assert_array_equal(coords_s, coords_o)
+    np.testing.assert_allclose(p_stream, p_once, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs_s["Aterm"]),
+                               np.asarray(outs_o["Aterm"]), atol=1e-5)
