@@ -165,7 +165,8 @@ def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
 
 def apply_attention_mil(params, tiles, label, cfg: MILConfig = MILConfig(), *,
                         mask=None, train: bool = False, rng=None,
-                        compute_dtype=None, use_pallas_pool: bool = False):
+                        compute_dtype=None, use_pallas_pool: bool = False,
+                        extractor=None):
     """Full bag forward. tiles: [T, H, W, 3] NHWC; label: int scalar;
     mask: optional [T] validity (1 = real tile). Returns the 13-key dict.
     """
@@ -183,9 +184,14 @@ def apply_attention_mil(params, tiles, label, cfg: MILConfig = MILConfig(), *,
     # CNN input is stop-gradiented like the reference's .detach()
     # (reference: gbm/model.py:194) — a no-op for data inputs, kept for
     # clarity when tiles are produced by an upstream learnable transform.
-    H = resnet.apply_resnet26(params["cnn"], jax.lax.stop_gradient(tiles),
-                              compute_dtype=compute_dtype,
-                              remat=cfg.remat and train)      # [T, L]
+    if extractor is not None:
+        # pluggable tile embedder, e.g. the truncated GAN discriminator
+        # (models.disc_extractor; legacy path gbm/classify.py:116)
+        H = extractor(params.get("cnn"), jax.lax.stop_gradient(tiles))
+    else:
+        H = resnet.apply_resnet26(params["cnn"], jax.lax.stop_gradient(tiles),
+                                  compute_dtype=compute_dtype,
+                                  remat=cfg.remat and train)  # [T, L]
     H = H.astype(jnp.float32)
 
     KLD = 0.5 * N.masked_mean((H ** 2).mean(axis=1), mask, axis=0)

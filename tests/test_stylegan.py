@@ -226,3 +226,28 @@ def test_gan_generate_smoke(image_dir, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "sample.png"))
     assert os.path.exists(os.path.join(out, "sample_mixing_0.png"))
+
+
+def test_disc_extractor_plugs_into_mil():
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        attention_mil as amil,
+        disc_extractor,
+    )
+
+    key = jax.random.PRNGKey(0)
+    disc = sg.init_discriminator(key, width_mult=WM)
+    step, cutoff = 3, 2
+    L = disc_extractor.feature_dim(step, cutoff=cutoff, width_mult=WM)
+    tiles = jax.random.normal(key, (10, 4 * 2 ** step, 4 * 2 ** step, 3))
+    feats = disc_extractor.apply_disc_extractor(disc, tiles, step=step,
+                                                cutoff=cutoff, width_mult=WM)
+    assert feats.shape == (10, L)
+
+    cfg = amil.MILConfig(L=L, D=4, widths=(4, 4, 4, 4), blocks=(1, 1, 1, 1))
+    params = amil.init_attention_mil(key, cfg)
+    extractor = disc_extractor.make_extractor(disc, step=step, cutoff=cutoff,
+                                              width_mult=WM)
+    out = amil.apply_attention_mil(params, tiles, 1, cfg, train=False,
+                                   extractor=extractor)
+    assert out["y_pred"].shape == (1, 3)
+    assert np.isfinite(np.asarray(out["loss"]))
