@@ -62,28 +62,48 @@ def create_map(name, epoch, step, img_data, raster, A, F, M, *,
     panels = [ax[0, 0], ax[1, 0], ax[1, 1], ax[1, 2]]
     alphas = [0.3, 0.9, 0.9, 0.9]
 
-    x_locs, y_locs = [], []
+    # Composite the tissue mosaic and feature strips each into ONE canvas
+    # + one imshow, and batch the attention rectangles into PatchCollections
+    # — per-tile imshow/add_patch calls make 2500-tile slides take minutes
+    # (the reference loops per tile; gbm/classify_combined.py:186-203).
     s = roi_size
+    rows = np.asarray(raster)[:, 0].astype(int)
+    cols = np.asarray(raster)[:, 1].astype(int)
+    x_locs = cols.tolist()
+    y_locs = rows.tolist()
+    ts = max(4, min(32, s // max(downsample_tissue, 1)))  # thumb px/tile
+    n_rows = (int(rows.max()) // s + 1) if len(rows) else 1
+    n_cols = (int(cols.max()) // s + 1) if len(cols) else 1
+    mosaic = np.full((n_rows * ts, n_cols * ts, 3), 255, np.uint8)
+    # feature canvas at its intrinsic [side, 10] per-tile resolution
+    side = F.shape[1] // 10 if F.ndim == 2 else 8
+    featmap = np.zeros((n_rows * side, n_cols * 10), np.float32)
     for i, roi in enumerate(img_data):
-        row, col = int(raster[i][0]), int(raster[i][1])
-        x_locs.append(col)
-        y_locs.append(row)
-        thumb = np.asarray(roi)[::downsample_tissue, ::downsample_tissue]
-        ax[0, 0].imshow(thumb, origin="upper",
-                        extent=(col, col + s, row, row - s))
-        for panel, w, alpha in zip(panels, weights, alphas):
-            if w[i] > 0.0:
-                panel.add_patch(patches.Rectangle(
-                    (col, row - s), s, s, linewidth=1,
-                    facecolor=cmap_lin[min(int(w[i]), 104)], alpha=alpha))
-        # per-tile feature strip (reference reshapes F to [T, 8, 10] and
-        # insets by 16px at roi_size=1200; keep the inset proportional)
-        feat = F[i]
-        side = feat.size // 10
-        inset = max(1, s // 75)
-        ax[0, 1].imshow(feat[: side * 10].reshape(side, 10), origin="upper",
-                        extent=(col + inset, col + s - inset,
-                                row - inset, row - s + inset))
+        gr, gc = rows[i] // s, cols[i] // s
+        roi = np.asarray(roi)
+        step_r = max(1, roi.shape[0] // ts)
+        thumb = roi[::step_r, ::step_r][:ts, :ts]
+        mosaic[gr * ts:gr * ts + thumb.shape[0],
+               gc * ts:gc * ts + thumb.shape[1]] = thumb[..., :3]
+        featmap[gr * side:(gr + 1) * side, gc * 10:(gc + 1) * 10] = \
+            np.asarray(F[i]).ravel()[: side * 10].reshape(side, 10)
+    # slide-coordinate extent matching the rectangles' [row-s, row] spans:
+    # canvas top row (slide row 0) renders at y in [-s, 0]
+    extent = (0, n_cols * s, n_rows * s - s, -s)
+    ax[0, 0].imshow(mosaic, origin="upper", extent=extent,
+                    interpolation="nearest")
+    ax[0, 1].imshow(featmap, origin="upper", extent=extent,
+                    interpolation="nearest")
+
+    from matplotlib.collections import PatchCollection
+
+    for panel, w, alpha in zip(panels, weights, alphas):
+        keep = w > 0.0
+        rects = [patches.Rectangle((c, r - s), s, s)
+                 for r, c in zip(rows[keep], cols[keep])]
+        colors = cmap_lin[np.minimum(w[keep].astype(int), 104)]
+        panel.add_collection(PatchCollection(
+            rects, facecolors=colors, alpha=alpha, linewidth=1))
 
     chan_min, chan_max = M.min(), M.max()
     span = (chan_max - chan_min) if chan_max > chan_min else 1.0
