@@ -138,9 +138,13 @@ class Driver:
         loader = sample_data(dataset, image_size=self.args.resolution,
                              shuffle=True)
 
-        sums = dict(loss=0.0, error=0.0, mu=0.0, var=0.0, kld=0.0)
-        l2 = 0.0
-        predictions, labels = [], []
+        # device-side metric accumulation: scalars stay on device during
+        # the epoch and fetch once at the end (each host fetch is a tunnel
+        # round trip on remote devices)
+        dev_metrics = {k: [] for k in ("loss", "error", "Aterm_mu",
+                                       "Aterm_var", "KLD", "l2",
+                                       "y_pred_hat")}
+        labels = []
         grad_acc = steps.zeros_like_grads(self.state.params)
         batch_count = 0
         n = 0
@@ -156,16 +160,20 @@ class Driver:
                 grad_acc = steps.zeros_like_grads(self.state.params)
                 batch_count = 0
 
-            predictions.append(int(outs["y_pred_hat"]))
+            for k in dev_metrics:
+                dev_metrics[k].append(outs[k])
             labels.append(label)
-            sums["loss"] += float(outs["loss"])
-            sums["error"] += float(outs["error"])
-            sums["mu"] += float(outs["Aterm_mu"])
-            sums["var"] += float(outs["Aterm_var"])
-            sums["kld"] += float(outs["KLD"])
-            l2 = float(outs["l2"])
             n += 1
+        fetched = {k: np.asarray(jnp.stack(v)) if v else np.zeros((0,))
+                   for k, v in dev_metrics.items()}  # one sync per key
         dt = time.time() - t0
+        predictions = [int(p) for p in fetched["y_pred_hat"]]
+        sums = dict(loss=float(fetched["loss"].sum()),
+                    error=float(fetched["error"].sum()),
+                    mu=float(fetched["Aterm_mu"].sum()),
+                    var=float(fetched["Aterm_var"].sum()),
+                    kld=float(fetched["KLD"].sum()))
+        l2 = float(fetched["l2"][-1]) if n else 0.0
 
         checkpoint.save(checkpoint.checkpoint_path(self.output_dir, epoch),
                         self.state.params, self.state.opt_state)
@@ -196,9 +204,9 @@ class Driver:
         dataset.eval()
         loader = sample_data(dataset, image_size=self.args.resolution,
                              shuffle=False)
-        sums = dict(loss=0.0, error=0.0, mu=0.0, kld=0.0)
-        l2 = 0.0
-        predictions, predvals, labels = [], [], []
+        dev = {k: [] for k in ("loss", "error", "Aterm_mu", "KLD",
+                               "y_pred_hat")}
+        predvals_dev, labels = [], []
         n = 0
         for tiles, mask, label in loader:
             # pre-Check stages validate with train-mode stochasticity,
@@ -210,15 +218,19 @@ class Driver:
             else:
                 outs = self.fwd_eval(self.state.params, tiles, mask,
                                      jnp.int32(label))
-            predictions.append(int(outs["y_pred_hat"]))
-            predvals.append(np.asarray(outs["y_pred"]).ravel())
+            for k in dev:
+                dev[k].append(outs[k])
+            predvals_dev.append(outs["y_pred"].ravel())
             labels.append(label)
-            sums["loss"] += float(outs["loss"])
-            sums["error"] += float(outs["error"])
-            sums["mu"] += float(outs["Aterm_mu"])
-            sums["kld"] += float(outs["KLD"])
-            l2 = float(outs["l2"])
             n += 1
+        fetched = {k: np.asarray(jnp.stack(v)) if v else np.zeros((0,))
+                   for k, v in dev.items()}
+        predictions = [int(p) for p in fetched["y_pred_hat"]]
+        predvals = list(np.asarray(jnp.stack(predvals_dev))) if n else []
+        sums = dict(loss=float(fetched["loss"].sum()),
+                    error=float(fetched["error"].sum()),
+                    mu=float(fetched["Aterm_mu"].sum()),
+                    kld=float(fetched["KLD"].sum()))
         n = max(n, 1)
         plots.plot_prediction_summary(epoch, self.heat_dir, predvals, labels)
         epoch_stats["valid_acc"] = classification_report(

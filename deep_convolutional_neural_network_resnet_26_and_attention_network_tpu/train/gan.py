@@ -279,7 +279,7 @@ def train_gan(args):
         d_step, g_step = step_fns[step]
 
         used_sample = 0
-        disc_loss = gen_loss = gp = 0.0
+        disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)
         t0 = time.time()
         for i, real in enumerate(dataset.batches()):
             if args.max_batches and i >= args.max_batches:
@@ -299,8 +299,9 @@ def train_gan(args):
             params_d, opt_d, aux = d_step(
                 params_d, opt_d, params_g, real, zs, sel,
                 jnp.float32(alpha), jnp.float32(lr), k_d_step)
-            disc_loss = float(aux["disc_loss"])
-            gp = float(aux["grad_penalty"])
+            # keep metrics on device; fetch once per epoch (tunnel RTTs)
+            disc_loss_dev = aux["disc_loss"]
+            gp_dev = aux["grad_penalty"]
 
             if (i + 1) % args.n_critic == 0:
                 mixing = args.mixing and py_rng.random() < 0.9
@@ -310,8 +311,10 @@ def train_gan(args):
                 params_g, opt_g, g_running, gl = g_step(
                     params_g, opt_g, g_running, params_d, zs2, sel2,
                     jnp.float32(alpha), jnp.float32(lr), k_g_step)
-                gen_loss = float(gl)
+                gen_loss_dev = gl
 
+        gen_loss, disc_loss, gp = (float(gen_loss_dev), float(disc_loss_dev),
+                                   float(gp_dev))
         print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "
               f"G {gen_loss:.3f}; D {disc_loss:.3f}; GP {gp:.3f}; "
               f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")
