@@ -77,6 +77,9 @@ def build_argparser():
                    help="checkpoint resnet blocks to fit large training bags")
     p.add_argument("--n_vis", default=8, type=int,
                    help="slides visualized every 10 epochs")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="stream epoch stats to runs/TAG_<tag> "
+                        "(legacy SummaryWriter parity)")
     return p
 
 
@@ -414,6 +417,13 @@ def main(argv=None):
         helpers.savestats(args, output_dir, args.epoch_start, epoch_stats)
         return 0
 
+    tb_writer = None
+    if args.tensorboard:
+        from ..utils.tb import EpochWriter
+
+        tb_writer = EpochWriter(os.path.join(args.output_root, "runs",
+                                             f"TAG_{args.tag}"))
+
     if vis_samples:
         driver.visualize(0, vis_samples[0][0], mode=vis_samples[0][1])
     for ep in range(args.epoch_start, args.epoch_end + 1):
@@ -427,6 +437,10 @@ def main(argv=None):
         if ep % 10 == 0:
             for b, m in vis_samples:
                 driver.visualize(ep, b, mode=m)
+        if tb_writer is not None:
+            tb_writer.log_epoch(ep, epoch_stats)
+    if tb_writer is not None:
+        tb_writer.close()
     return 0
 
 
