@@ -177,6 +177,14 @@ class GHPSingleBagDatasetSimple:
             name = base_idx.replace("_H&E", "_HandE").split(".")[0]
             self._add_builder(file, 1, f"SN_{name}")  # super-normals -> 1
 
+        if len(self.all_builders) < n_folds:
+            raise RuntimeError(
+                f"found {len(self.all_builders)} usable slides under "
+                f"{os.path.join(self.ROOT_DIR, self.PATH_IMG)} (need >= "
+                f"{n_folds} for {n_folds}-fold split). Check --data_root/"
+                "--image_dir, the label sheet, the tile cache in $CACHE_DIR, "
+                "and --roi_size (cache filenames encode the tile size); "
+                f"slides with < {MIN_TILES} cached tiles are dropped.")
         folds = list(KFold(n_folds, shuffle=True,
                            random_state=self._np_rng.integers(0, 2**31 - 1))
                      .split(self.all_builders))

@@ -372,6 +372,9 @@ def main(argv=None):
         args.ckpt = checkpoint.latest_checkpoint(output_dir)
         if args.ckpt:
             print(f"Auto-resume from {args.ckpt}")
+    if args.ckpt is not None and not os.path.isfile(args.ckpt):
+        print(f"error: checkpoint not found: {args.ckpt}", file=sys.stderr)
+        return 2
     if args.ckpt is not None:
         params, loaded, skipped = checkpoint.restore_params(
             driver.state.params, args.ckpt, transfer=args.transfer)
