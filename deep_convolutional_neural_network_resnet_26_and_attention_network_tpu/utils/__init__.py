@@ -1,4 +1,7 @@
 """Driver utilities: stats persistence, weight/activation introspection,
-heatmap writers, and the metric plot suite."""
+heatmap writers, metric plots, profiling, optional TensorBoard logging."""
 
-from . import helpers, plots  # noqa: F401
+from . import helpers  # noqa: F401
+from . import plots  # noqa: F401
+from . import profiling  # noqa: F401
+from . import tb  # noqa: F401
