@@ -335,3 +335,38 @@ def test_prefetcher_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(loader.BagPrefetcher(Boom([1]), shuffle=False))
+
+
+def test_resize_parity_with_pil_within_probability_budget():
+    """jax.image.resize(antialias) vs PIL BILINEAR: small per-pixel diffs
+    that stay ~1e-6 at the slide-probability level — far inside the 1e-3
+    parity budget (BASELINE.md)."""
+    from PIL import Image as PILImage
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        attention_mil as amil,
+    )
+
+    rng = np.random.default_rng(0)
+    tile = rng.integers(0, 256, (240, 240, 3), np.uint8)
+    pil = PILImage.fromarray(tile).resize((60, 60), PILImage.BILINEAR)
+    ref = (np.asarray(pil, np.float32) / 255.0 - 0.5) / 0.5
+    ours = np.asarray(transforms.eval_transform(jnp.asarray(tile[None]),
+                                                resolution=60))[0]
+    assert np.abs(ours - ref).max() < 0.02  # per-pixel: close, not identical
+
+    cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    bag_ref, bag_ours = [], []
+    for _ in range(8):
+        t = rng.integers(0, 256, (240, 240, 3), np.uint8)
+        p = PILImage.fromarray(t).resize((60, 60), PILImage.BILINEAR)
+        bag_ref.append((np.asarray(p, np.float32) / 255.0 - 0.5) / 0.5)
+        bag_ours.append(np.asarray(transforms.eval_transform(
+            jnp.asarray(t[None]), resolution=60))[0])
+    o_ref = amil.apply_attention_mil(params, jnp.asarray(np.stack(bag_ref)),
+                                     0, cfg, train=False)
+    o_ours = amil.apply_attention_mil(params, jnp.asarray(np.stack(bag_ours)),
+                                      0, cfg, train=False)
+    d = np.abs(np.asarray(o_ref["y_pred"]) - np.asarray(o_ours["y_pred"])).max()
+    assert d < 1e-3, d
