@@ -66,6 +66,21 @@ def test_checkpoint_roundtrip(tmp_path):
     fresh_state = steps.init_train_state(fresh)
     opt_state, ok = checkpoint.restore_opt_state(fresh_state.opt_state, path)
     assert ok
+    # value equality, not just the flag: run a real update first so the
+    # Adam moments are nonzero, then round-trip
+    grad_fn = steps.make_bag_grad(TINY)
+    tiles = jnp.asarray(np.random.default_rng(0).random((8, 16, 16, 3)),
+                        jnp.float32)
+    _, grads = grad_fn(state.params, tiles, jnp.ones((8,)), jnp.int32(1),
+                       jax.random.PRNGKey(2))
+    stepped = steps.make_apply_updates()(state, grads, jnp.float32(1e-3))
+    path2 = checkpoint.save(str(tmp_path / "ck2.model"), stepped.params,
+                            stepped.opt_state)
+    restored2, ok2 = checkpoint.restore_opt_state(fresh_state.opt_state, path2)
+    assert ok2
+    for a, b in zip(jax.tree_util.tree_leaves(stepped.opt_state),
+                    jax.tree_util.tree_leaves(restored2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_checkpoint_transfer_filters_conv_only(tmp_path):
