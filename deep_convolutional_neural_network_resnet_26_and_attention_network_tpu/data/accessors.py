@@ -61,8 +61,8 @@ def split_GHP_convention(idx_base, dtypes):
         return dtypes[0]("-99"), dtypes[1]("-99"), dtypes[2]("-99")
 
 
-def getClusterIndex(identifiers, outcome_name, filename, dtypes=float,
-                    dtype=str):
+def getClusterIndex(identifiers, outcome_name, filename,
+                    dtypes=(str, int, str), dtype=str):
     """Slide id -> cluster designation (A/B/C). Row ids in column 0 are
     matched through split_GHP_convention; the outcome column header lives
     in row 2 (reference: DataAccessors.py:130-168). Empty cell -> -1."""

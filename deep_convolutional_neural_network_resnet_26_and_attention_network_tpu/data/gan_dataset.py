@@ -74,13 +74,17 @@ class ImageFolderDataset:
             yield self._finalize(batch)
 
     def _finalize(self, batch):
-        h = max(b.shape[0] for b in batch)
-        w = max(b.shape[1] for b in batch)
-        stack = np.zeros((len(batch), h, w, 3), np.uint8)
-        for i, b in enumerate(batch):
-            stack[i, :b.shape[0], :b.shape[1]] = b
-        return transforms.eval_transform(jnp.asarray(stack),
-                                         resolution=self.resolution)
+        shapes = {b.shape for b in batch}
+        if len(shapes) == 1:
+            # uniform sizes: one batched resize
+            return transforms.eval_transform(jnp.asarray(np.stack(batch)),
+                                             resolution=self.resolution)
+        # mixed sizes: resize each full-frame image individually — padding
+        # a smaller image into a larger canvas would leave black borders
+        parts = [transforms.eval_transform(jnp.asarray(b[None]),
+                                           resolution=self.resolution)
+                 for b in batch]
+        return jnp.concatenate(parts, axis=0)
 
 
 # The GAN trainers import this name for the (missing) breast-cancer bag

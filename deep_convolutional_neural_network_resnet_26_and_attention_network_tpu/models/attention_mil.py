@@ -87,18 +87,24 @@ def init_attention_mil(key, cfg: MILConfig = MILConfig()):
 
 
 def _subsample(tiles, mask, fraction, rng):
-    """Static-size random subsample of valid tiles (train-time only).
+    """Random subsample of the VALID tiles (train-time only).
 
-    Picks k = max(1, int(T*fraction)) tiles uniformly without replacement
-    among mask>0 tiles via Gumbel top-k; if fewer than k are valid, the
-    extras arrive with mask 0 and stay inert downstream.
+    The selected count must match the reference's int(T_valid * fraction)
+    (reference: gbm/model.py:192-194) where T_valid is the real bag size,
+    not the padded bucket size. Shapes stay static under jit: Gumbel top-k
+    selects k_static = max(1, int(T_padded * fraction)) candidates among
+    mask>0 tiles, then the mask zeroes every candidate beyond the dynamic
+    target max(1, floor(T_valid * fraction)).
     """
     T = tiles.shape[0]
-    k = max(1, int(T * fraction))
+    k_static = max(1, int(T * fraction))
     g = jax.random.gumbel(rng, (T,))
     scores = jnp.where(mask > 0, g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, k)
-    return tiles[idx], mask[idx]
+    _, idx = jax.lax.top_k(scores, k_static)
+    valid = jnp.sum(mask)
+    k_dyn = jnp.maximum(1.0, jnp.floor(valid * fraction))
+    keep = (jnp.arange(k_static) < k_dyn).astype(mask.dtype)
+    return tiles[idx], mask[idx] * keep
 
 
 def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
@@ -135,7 +141,7 @@ def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
 
         m_vec = (mask if mask is not None
                  else jnp.ones((A_raw.shape[0],), A_raw.dtype))
-        Mterm, A_1T, _wrois = gated_attention_pool(
+        Mterm, A_1T, wROIs_fused = gated_attention_pool(
             A_raw.astype(jnp.float32), Bterm.astype(jnp.float32),
             m_vec.astype(jnp.float32), wm.astype(jnp.float32))
     else:
@@ -153,9 +159,11 @@ def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
     Aterm_var = jnp.mean((A_2.T @ A_2) * off_diag)
     Aterm_mu = 0.5 * jnp.sum(N.masked_mean(A_raw, mask, axis=0) ** 2)
 
-    if not use_pallas_pool:
+    if use_pallas_pool:
+        wROIs = wROIs_fused  # already produced in the fused VMEM pass
+    else:
         Mterm = A_1T @ Bterm                                  # [K, O]
-    wROIs = A_1T * Bterm[:, 0][None, :]                       # [K, T]
+        wROIs = A_1T * Bterm[:, 0][None, :]                   # [K, T]
     logits = Mterm.reshape(1, cfg.K * cfg.O)                  # [1, K]
     return {
         "Aterm": A_1T, "wROIs": wROIs, "Bterm": Bterm, "Mterm": Mterm,

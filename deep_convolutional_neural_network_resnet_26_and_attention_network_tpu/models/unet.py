@@ -166,7 +166,7 @@ def apply_latent_unet(params, x, *, rng=None, perturbation=False,
     lat_side = int((latent_dim // 16) ** 0.5)
     latent = latent_flat.reshape(-1, lat_side, lat_side, 16)
     decoder_in = encoder_tap
-    if rng is not None:
+    if perturbation and rng is not None:
         decoder_in = smote_layer(decoder_in, rng)
     g = batch_norm_2d(jnp.maximum(
         N.conv2d(latent, params["bottle_out"]["w"],

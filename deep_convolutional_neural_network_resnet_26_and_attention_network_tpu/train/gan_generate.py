@@ -65,8 +65,10 @@ def style_mixing(params_g, rng, step, mean_style_w, n_source, n_target, *,
     target_image = gen(target[None])
     images.append(source_image)
 
-    # styles[0] = target_i (blocks 0..1), styles[1] = source (rest)
-    sel = jnp.asarray([0 if 0 <= i <= 1 else 1 for i in range(n_blocks)],
+    # zs = [target_i, source]; the reference's mixing_range=(0,1) gives
+    # blocks 0..1 style[1] (SOURCE) and every other block style[0]
+    # (target_i) — reference: generate.py:57-65, model.py:426-430
+    sel = jnp.asarray([1 if 0 <= i <= 1 else 0 for i in range(n_blocks)],
                       jnp.int32)
     for i in range(n_target):
         zs = jnp.stack([jnp.tile(target[i][None], (n_source, 1)), source])
@@ -88,6 +90,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    os.makedirs(args.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     k_init, k_mean, k_sample, rng = jax.random.split(rng, 4)
     params_g = sg.init_styled_generator(k_init, style_dim=args.code_size,

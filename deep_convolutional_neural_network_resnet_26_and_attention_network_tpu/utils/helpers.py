@@ -44,15 +44,15 @@ def savestats(args, output_dir: str, epoch: int, epoch_stats: dict) -> str:
 
 
 def named_parameters(params, prefix=""):
-    """Yield ('/'-joined name, numpy array) like torch named_parameters."""
-    if isinstance(params, dict):
-        for k in sorted(params.keys()):
-            yield from named_parameters(params[k], f"{prefix}{k}/")
-    elif isinstance(params, (list, tuple)):
-        for i, v in enumerate(params):
-            yield from named_parameters(v, f"{prefix}{i}/")
-    else:
-        yield prefix[:-1], np.asarray(params)
+    """Yield ('/'-joined name, numpy array) like torch named_parameters.
+
+    Delegates to the checkpoint flattener so summary/plot layer names stay
+    identical to checkpoint keys (the transfer filter matches on them).
+    """
+    from ..train.checkpoint import _flatten
+
+    for name, value in _flatten(params, prefix).items():
+        yield name, value
 
 
 def get_layer_weight_summary_mean(params) -> dict:

@@ -151,3 +151,24 @@ def test_eval_deterministic(setup):
     a = ev(params, t, m, y)
     b = ev(params, t, m, y)
     np.testing.assert_array_equal(np.asarray(a["y_pred"]), np.asarray(b["y_pred"]))
+
+
+def test_padded_subsample_matches_unpadded_fraction():
+    """Train-time 20% subsample must count VALID tiles, not the padded
+    bucket size (fix for bucket-dependent training fraction)."""
+    import jax
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models.attention_mil import (
+        _subsample,
+    )
+
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray(rng.random((128, 2, 2, 3)), jnp.float32)
+    mask = jnp.zeros((128,)).at[:100].set(1.0)  # 100 valid, padded to 128
+    _, new_mask = _subsample(tiles, mask, 0.2, jax.random.PRNGKey(0))
+    assert int(jnp.sum(new_mask)) == 20  # floor(0.2 * 100), not 25
+
+    # tiny valid count still keeps at least one tile
+    mask2 = jnp.zeros((128,)).at[:3].set(1.0)
+    _, new_mask2 = _subsample(tiles, mask2, 0.2, jax.random.PRNGKey(1))
+    assert int(jnp.sum(new_mask2)) == 1

@@ -63,6 +63,8 @@ def test_model_pallas_pool_path_matches_default():
                                np.asarray(out_b["Mterm"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_a["Aterm"]),
                                np.asarray(out_b["Aterm"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a["wROIs"]),
+                               np.asarray(out_b["wROIs"]), atol=1e-5)
 
 
 def test_classify_slides_batched_sharded_matches_single():

@@ -251,3 +251,25 @@ def test_disc_extractor_plugs_into_mil():
                                    extractor=extractor)
     assert out["y_pred"].shape == (1, 3)
     assert np.isfinite(np.asarray(out["loss"]))
+
+
+def test_gan_dataset_mixed_sizes_resize_full_frame(tmp_path):
+    """Mixed-size images must each resize full-frame (no zero-pad borders)."""
+    from PIL import Image
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.gan_dataset import (
+        ImageFolderDataset,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    Image.fromarray(np.full((16, 16, 3), 200, np.uint8)).save(d / "a.png")
+    Image.fromarray(np.full((32, 32, 3), 200, np.uint8)).save(d / "b.png")
+    ds = ImageFolderDataset(str(d), seed=0)
+    ds.NewResolution(8, 2)
+    batch = next(iter(ds.batches(shuffle=False)))
+    arr = np.asarray(batch)
+    # constant-color inputs -> constant outputs; zero-padding would leave
+    # black (-1.0) borders on the smaller image
+    expected = 200 / 127.5 - 1.0
+    np.testing.assert_allclose(arr, expected, atol=1e-2)
