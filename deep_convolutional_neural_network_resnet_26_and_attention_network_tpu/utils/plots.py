@@ -180,3 +180,28 @@ def plot_layer_metrics(path: str, tag: str = "TEST"):
     plt.savefig(fig_path)
     plt.close()
     return fig_path
+
+
+def main(argv=None):
+    """CLI: regenerate all plots for a run directory (the reference ships
+    plot_gbm_metrics.py / plot_roc.py / plot_layer_metrics.py as scripts)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Plot training artifacts")
+    ap.add_argument("path", help="run directory with *summary.json")
+    ap.add_argument("--tag", default="TEST")
+    args = ap.parse_args(argv)
+    print("metrics:", plot_gbm_metrics(args.path, args.tag))
+    roc = plot_roc(args.path, args.tag)
+    if roc:
+        print("roc:", roc[0])
+    layers = plot_layer_metrics(args.path, args.tag)
+    if layers:
+        print("layers:", layers)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
