@@ -3,7 +3,6 @@ transforms, bag datasets, and prefetching loaders."""
 
 from . import (  # noqa: F401
     accessors,
-    dataset,
     gan_dataset,
     loader,
     roibuilder,
@@ -13,4 +12,5 @@ from . import (  # noqa: F401
     transforms,
 )
 
-# cell_datasets imports lazily (it pulls in matplotlib via utils.helpers)
+# dataset (scikit-learn) and cell_datasets (matplotlib via utils.helpers)
+# import lazily so the base install needs only jax/numpy/optax

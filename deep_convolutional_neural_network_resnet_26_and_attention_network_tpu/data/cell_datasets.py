@@ -106,7 +106,7 @@ class CellImageDatasetHE:
                  seed=None):
         self.transform = transform
         self.data_store, self.data_raw, self.coord_store = [], [], []
-        self._seed = seed
+        self._rng = random.Random(seed)
         for img_name in glob.glob(root_dir + "*wholecell-raw.png*"):
             if len(self.data_store) >= max_size:
                 break
@@ -120,8 +120,10 @@ class CellImageDatasetHE:
 
     def __getitem__(self, idx):
         image, raw = self.data_store[idx], self.data_raw[idx]
-        crop_i, crop_r, _ = RandomCrop2X(64, pad_if_needed=True,
-                                         seed=self._seed).Execute(image, raw)
+        # fresh per-call seed: a fixed seed here would freeze the crop
+        crop_i, crop_r, _ = RandomCrop2X(
+            64, pad_if_needed=True,
+            seed=self._rng.randint(0, 2**31 - 1)).Execute(image, raw)
         return {"image": _finalize(crop_i), "raw": _finalize(crop_r),
                 "xy": self.coord_store[idx]}
 

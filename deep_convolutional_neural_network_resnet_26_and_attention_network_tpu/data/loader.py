@@ -76,30 +76,49 @@ class BagPrefetcher:
             self._rng.shuffle(order)
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         stop = object()
+        closed = threading.Event()  # consumer stopped iterating early
+
+        def put(item) -> bool:
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for idx in order:
+                    if closed.is_set():
+                        return
                     item = self.dataset[int(idx)]
                     tiles, label = item[0], item[1]
                     tiles, mask = pad_bag(jnp.asarray(tiles),
                                           buckets=self.buckets,
                                           multiple_of=self.multiple_of)
                     label = int(np.asarray(label).reshape(-1)[0])
-                    q.put((tiles, mask, label, *item[2:]))
+                    if not put((tiles, mask, label, *item[2:])):
+                        return
             except Exception as e:  # surface producer errors to the consumer
-                q.put(e)
-            q.put(stop)
+                put(e)
+            put(stop)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # breaking out of the loop (e.g. peak mode's single bag) must
+            # not leave the producer blocked on a full queue holding
+            # device-resident bags
+            closed.set()
 
 
 def sample_data(dataset, *, image_size: int | None = None,

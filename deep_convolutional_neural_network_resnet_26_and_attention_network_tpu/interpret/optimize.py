@@ -61,7 +61,7 @@ def deep_dream(params, image_u8, layer: str, filter_pos: int, *,
 
 def inverted_representation(params, image_u8, layer: str, *,
                             steps: int = 100, lr: float = 1e-2,
-                            alpha_reg_alpha: float = 1e-5,
+                            alpha_reg_alpha: float = 6.0,
                             alpha_reg_lambda: float = 1e-2,
                             tv_reg_beta: float = 3.0,
                             tv_reg_coeff: float = 1e-2, rng=None):
@@ -77,8 +77,9 @@ def inverted_representation(params, image_u8, layer: str, *,
     def loss(x):
         _, acts = resnet.apply_resnet26(params, x, taps=True)
         euc = jnp.linalg.norm(acts[layer] - target) / jnp.linalg.norm(target)
-        # alpha-norm regularizer (reference uses alpha=6)
-        alpha_reg = alpha_reg_lambda * jnp.sum(jnp.abs(x) ** 6)
+        # alpha-norm regularizer (reference default alpha=6)
+        alpha_reg = alpha_reg_lambda * jnp.sum(
+            jnp.abs(x) ** alpha_reg_alpha)
         dh = x[:, 1:, :-1, :] - x[:, :-1, :-1, :]
         dw = x[:, :-1, 1:, :] - x[:, :-1, :-1, :]
         tv = tv_reg_coeff * jnp.sum(

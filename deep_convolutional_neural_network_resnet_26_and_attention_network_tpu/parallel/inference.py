@@ -18,6 +18,40 @@ from ..models import attention_mil as amil
 from . import mesh as M
 from . import steps
 
+# jit wrappers cache per wrapper OBJECT — rebuild-per-call would recompile
+# the whole graph for every slide. Key the compiled forwards by config.
+_FWD_CACHE: dict = {}
+
+
+def _cached_bag_forward(cfg, compute_dtype, use_pallas_pool):
+    key = ("bag_fwd", cfg, str(compute_dtype), bool(use_pallas_pool))
+    if key not in _FWD_CACHE:
+        _FWD_CACHE[key] = jax.jit(
+            lambda p, t, m: amil.apply_attention_mil(
+                p, t, 0, cfg, mask=m, train=False,
+                compute_dtype=compute_dtype,
+                use_pallas_pool=use_pallas_pool))
+    return _FWD_CACHE[key]
+
+
+def _cached_extract(cfg, compute_dtype):
+    from ..models import resnet
+
+    key = ("extract", cfg, str(compute_dtype))
+    if key not in _FWD_CACHE:
+        _FWD_CACHE[key] = jax.jit(
+            lambda p, t: resnet.apply_resnet26(
+                p, t, compute_dtype=compute_dtype).astype(jnp.float32))
+    return _FWD_CACHE[key]
+
+
+def _cached_pool(cfg):
+    key = ("pool", cfg)
+    if key not in _FWD_CACHE:
+        _FWD_CACHE[key] = jax.jit(
+            lambda p, h: amil.attention_pool(p, h, cfg, train=False))
+    return _FWD_CACHE[key]
+
 
 def classify_slide(params, cfg: amil.MILConfig, builder, *,
                    resolution: int = 300, compute_dtype=jnp.bfloat16,
@@ -31,9 +65,7 @@ def classify_slide(params, cfg: amil.MILConfig, builder, *,
     if use_pallas_pool is None:
         use_pallas_pool = jax.default_backend() == "tpu"
 
-    fwd = jax.jit(lambda p, t, m: amil.apply_attention_mil(
-        p, t, 0, cfg, mask=m, train=False, compute_dtype=compute_dtype,
-        use_pallas_pool=use_pallas_pool))
+    fwd = _cached_bag_forward(cfg, compute_dtype, use_pallas_pool)
     outs = fwd(params, bag, mask)
     T = tiles.shape[0]
     outs = dict(outs)
@@ -57,14 +89,12 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     streaming pass (SURVEY.md §5's 'bag-dimension sharding' argument, in
     time instead of space). Returns (probs, outputs dict, coords)."""
     from ..data import transforms
-    from ..models import resnet
 
     if builder.params.get("resolution") != resolution:
         builder.update_resolution_and_buffer(resolution)
     raw, coords = builder._load_cache(with_coords=True)
 
-    extract = jax.jit(lambda p, t: resnet.apply_resnet26(
-        p, t, compute_dtype=compute_dtype).astype(jnp.float32))
+    extract = _cached_extract(cfg, compute_dtype)
 
     feats = []
     for start in range(0, raw.shape[0], chunk):
@@ -77,7 +107,7 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
         feats.append(extract(params["cnn"], tiles)[:valid])
     H = jnp.concatenate(feats, axis=0)
 
-    pool = jax.jit(lambda p, h: amil.attention_pool(p, h, cfg, train=False))
+    pool = _cached_pool(cfg)
     pooled = pool(params, H)
     probs = jax.nn.softmax(pooled["logits"], axis=1)
     outs = {**pooled, "y_pred": probs,

@@ -279,9 +279,12 @@ def train_gan(args):
         d_step, g_step = step_fns[step]
 
         used_sample = 0
+        alpha = 1.0
         disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)
         t0 = time.time()
+        n_batches = 0
         for i, real in enumerate(dataset.batches()):
+            n_batches += 1
             if args.max_batches and i >= args.max_batches:
                 break
             b = real.shape[0]
@@ -313,6 +316,11 @@ def train_gan(args):
                     jnp.float32(alpha), jnp.float32(lr), k_g_step)
                 gen_loss_dev = gl
 
+        if n_batches == 0:
+            raise RuntimeError(
+                f"epoch {epoch}: zero batches at batch size {batch} over "
+                f"{len(dataset)} images (batches drop ragged tails). Pass "
+                "--batch_override with a size <= the dataset size.")
         gen_loss, disc_loss, gp = (float(gen_loss_dev), float(disc_loss_dev),
                                    float(gp_dev))
         print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "

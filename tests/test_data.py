@@ -370,3 +370,17 @@ def test_resize_parity_with_pil_within_probability_budget():
                                       0, cfg, train=False)
     d = np.abs(np.asarray(o_ref["y_pred"]) - np.asarray(o_ours["y_pred"])).max()
     assert d < 1e-3, d
+
+
+def test_prefetcher_early_exit_stops_producer():
+    """Breaking out of iteration must release the producer thread."""
+    import threading
+    import time as _time
+
+    data = _ToyDataset([4] * 50)
+    before = threading.active_count()
+    for _ in range(5):
+        for item in loader.BagPrefetcher(data, shuffle=False):
+            break  # early exit every time
+    _time.sleep(0.5)  # let producers observe the closed flag
+    assert threading.active_count() <= before + 1
