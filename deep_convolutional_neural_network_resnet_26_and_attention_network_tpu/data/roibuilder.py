@@ -166,9 +166,14 @@ class RoiBuilder:
         if len(data) == 0:
             return jnp.zeros(EMPTY_BAG_SHAPE, jnp.float32)
         self._train_rng, sub = jax.random.split(self._train_rng)
+        # Pad(100) at roi 1200 like the reference (RoiBuilder.py:195); for
+        # other tile sizes the jitter scales proportionally — a fixed 100px
+        # pad on small tiles would make crops mostly zero padding
+        pad = max(1, round(self.params["roi_size"] * 100 / 1200))
         return transforms.apply_chunked(
             transforms.train_transform, data, rng=sub,
-            roi_size=self.params["roi_size"], resolution=self._resolution)
+            roi_size=self.params["roi_size"], resolution=self._resolution,
+            pad=pad)
 
     def get_validation_data(self):
         """Deterministic bag [T, res, res, 3] (reference: RoiBuilder.py:240-259)."""
