@@ -384,3 +384,23 @@ def test_prefetcher_early_exit_stops_producer():
             break  # early exit every time
     _time.sleep(0.5)  # let producers observe the closed flag
     assert threading.active_count() <= before + 1
+
+
+def test_train_data_pad_scales_with_roi(tmp_path, monkeypatch):
+    """Small-tile training crops must stay mostly real content — a fixed
+    100px pad at roi 32 made them mostly zero padding."""
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(0)
+    tiles = np.full((8, 32, 32, 3), 200, np.uint8)
+    base = "padprobe"
+    np.save(tmp_path / f"data_{base}_rois_size32_hsvcut_v3.npy", tiles)
+    np.save(tmp_path / f"coor_{base}_rois_size32_hsvcut_v3.npy",
+            np.stack([[i * 32, 0] for i in range(8)]))
+    path = tmp_path / f"{base}.npy"
+    path.write_bytes(b"x")
+    b = roibuilder.RoiBuilder(str(path), {"roi_size": 32})
+    b.update_resolution_and_buffer(16)
+    bag = np.asarray(b.get_train_data())
+    # constant-200 tiles normalize to ~0.57; zero padding shows up as -1.0
+    frac_padding = float((bag < -0.9).mean())
+    assert frac_padding < 0.3, frac_padding
