@@ -32,6 +32,26 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.model
     resnet,
 )
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the full-model 300px compile takes
+    ~4 minutes on the tunnel TPU; caching makes reruns start in seconds."""
+    import os
+
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax or read-only checkout: run uncached
+
+
+_enable_compilation_cache()
+
+
 TILE_RES = 300  # live-driver input resolution (gbm/classify_combined.py:412)
 
 
@@ -105,8 +125,13 @@ def _staged_inputs(base, n):
 
 def bench_resnet_forward(quick: bool, repeats: int = 3):
     platform = jax.devices()[0].platform
-    if quick or platform == "cpu":
+    if platform == "cpu":
         jbatch, jiters, tbatch, titers = 32, 4, 4, 2
+        repeats = 1
+    elif quick:
+        # the tunnel device is latency-bound: tiny batches measure RTT,
+        # not throughput — keep quick mode big enough to amortize
+        jbatch, jiters, tbatch, titers = 128, 8, 4, 2
         repeats = 1
     else:
         jbatch, jiters, tbatch, titers = 256, 12, 8, 3
