@@ -80,6 +80,10 @@ def build_argparser():
     p.add_argument("--tensorboard", action="store_true",
                    help="stream epoch stats to runs/TAG_<tag> "
                         "(legacy SummaryWriter parity)")
+    p.add_argument("--mesh", default=0, type=int,
+                   help="train over an N-device (slides, tiles) mesh: each "
+                        "accumulation window of bags becomes one sharded "
+                        "batched step (the DataParallel replacement)")
     return p
 
 
@@ -116,6 +120,21 @@ class Driver:
         self.accumulate = steps.make_accumulate()
         self.apply_updates = steps.make_apply_updates(self.tx)
 
+        self.mesh = None
+        if getattr(args, "mesh", 0):
+            from ..parallel import mesh as M
+
+            n = args.mesh
+            if len(jax.devices()) < n:
+                raise RuntimeError(
+                    f"--mesh {n} but only {len(jax.devices())} devices")
+            self.mesh = M.make_mesh(n)
+            self.tiles_multiple = self.mesh.shape[M.TILES_AXIS]
+            self.batched_step = steps.make_train_step(
+                cfg, self.tx, compute_dtype=self.compute_dtype, donate=False)
+            self.state = steps.replicate_state(self.mesh, self.state)
+            print(f"Mesh training over {dict(self.mesh.shape)}")
+
     def next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
         return sub
@@ -139,7 +158,11 @@ class Driver:
 
         dataset.train()
         loader = sample_data(dataset, image_size=self.args.resolution,
-                             shuffle=True)
+                             shuffle=True,
+                             multiple_of=getattr(self, "tiles_multiple", 1))
+
+        if self.mesh is not None:
+            return self._train_epoch_mesh(epoch, stage, loader, epoch_stats)
 
         # device-side metric accumulation: scalars stay on device during
         # the epoch and fetch once at the end (each host fetch is a tunnel
@@ -196,6 +219,81 @@ class Driver:
         epoch_stats["model_max_weights"] = \
             helpers.get_layer_weight_summary_max(self.state.params)
         print(f"T: Loss {epoch_stats['train_loss']:.3f}; "
+              f"Error {100 * epoch_stats['train_err']:.2f}%; "
+              f"{n} slides in {dt:.1f}s")
+        return True
+
+    def _train_epoch_mesh(self, epoch, stage, loader, epoch_stats):
+        """Mesh path: each accumulation window of bags runs as ONE sharded
+        batched step — grad(sum of window losses) + one Adam update is
+        exactly the sequential accumulate-then-step semantics."""
+        import numpy as _np
+
+        from ..data.loader import pad_bag
+        from ..parallel import steps as S
+
+        dev_metrics = {k: [] for k in ("loss", "error", "Aterm_mu",
+                                       "Aterm_var", "KLD", "l2")}
+        preds_dev, labels = [], []
+        window = []
+        n = 0
+        t0 = time.time()
+
+        def run_window(bags):
+            nonlocal n
+            target = max(b[0].shape[0] for b in bags)
+            tiles = jnp.stack([pad_bag(b[0], n_tiles=target)[0]
+                               for b in bags])
+            masks = jnp.stack([jnp.pad(b[1], (0, target - b[1].shape[0]))
+                               for b in bags])
+            lbls = jnp.asarray([b[2] for b in bags], jnp.int32)
+            s_tiles, s_masks, s_labels = S.shard_batch(
+                self.mesh, tiles, masks, lbls)
+            with self.mesh:
+                self.state, metrics = self.batched_step(
+                    self.state, s_tiles, s_masks, s_labels,
+                    jnp.float32(stage.lr), self.next_rng())
+            b_count = len(bags)
+            for k in dev_metrics:
+                # metrics are window means; store window SUMS for the /n
+                dev_metrics[k].append(metrics[k] * b_count)
+            preds_dev.append(metrics["y_pred_hat"].reshape(-1))
+            labels.extend(int(b[2]) for b in bags)
+            n += b_count
+
+        for tiles, mask, label in loader:
+            window.append((tiles, mask, label))
+            if len(window) >= self.args.accum:
+                run_window(window)
+                window = []
+        # leftover partial window is discarded, like the sequential path
+
+        fetched = {k: _np.asarray(jnp.stack(v)) if v else _np.zeros((0,))
+                   for k, v in dev_metrics.items()}
+        predictions = ([int(x) for x in _np.asarray(jnp.concatenate(preds_dev))]
+                       if preds_dev else [])
+        dt = time.time() - t0
+        checkpoint.save(checkpoint.checkpoint_path(self.output_dir, epoch),
+                        self.state.params, self.state.opt_state)
+        n = max(n, 1)
+        epoch_stats["train_acc"] = classification_report(
+            labels, predictions, labels=[0, 1, 2], target_names=TARGET_NAMES,
+            output_dict=True, zero_division=0)
+        epoch_stats["train_loss"] = float(fetched["loss"].sum()) / n
+        epoch_stats["train_wsum"] = float(fetched["Aterm_mu"].sum()) / n
+        epoch_stats["train_wvar"] = float(fetched["Aterm_var"].sum()) / n
+        # reference keeps the last bag's l2; here the last window's mean
+        n_last = self.args.accum
+        epoch_stats["train_cll2"] = (float(fetched["l2"][-1]) / n_last
+                                     if len(fetched["l2"]) else 0.0)
+        epoch_stats["train_kld"] = float(fetched["KLD"].sum()) / n
+        epoch_stats["train_err"] = float(fetched["error"].sum()) / n
+        epoch_stats["train_secs"] = dt
+        epoch_stats["model_mean_weights"] = \
+            helpers.get_layer_weight_summary_mean(self.state.params)
+        epoch_stats["model_max_weights"] = \
+            helpers.get_layer_weight_summary_max(self.state.params)
+        print(f"T[mesh]: Loss {epoch_stats['train_loss']:.3f}; "
               f"Error {100 * epoch_stats['train_err']:.2f}%; "
               f"{n} slides in {dt:.1f}s")
         return True

@@ -321,3 +321,31 @@ def test_classify_cli_interface_mode(synthetic_tree, tmp_path, monkeypatch):
     assert (iface / "GBMdata_slideEBs_class.csv").exists()
     dlas = [f for f in os.listdir(iface) if f.endswith(".dla")]
     assert len(dlas) >= 4
+
+
+def test_classify_cli_mesh_training(synthetic_tree, tmp_path, monkeypatch):
+    """--mesh N: accumulation windows run as sharded batched steps."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "MESH", "--arch", "tiny", "--resolution", "16",
+        "--epoch_start", "0", "--epoch_end", "0", "--accum", "2",
+        "--mesh", "8",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32",
+    ])
+    assert rc == 0
+    run = out_root / "run_MESH"
+    assert (run / "train_step-000.model").exists()
+    import json as _json
+
+    summaries = [f for f in os.listdir(run) if f.endswith("summary.json")]
+    with open(run / summaries[0]) as f:
+        stats = _json.load(f)
+    assert np.isfinite(stats["train_loss"])
