@@ -68,13 +68,8 @@ def _pool_call(a_pad, b_pad, mask_pad, gate_pad, *, interpret: bool):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def gated_attention_pool(a_raw, b, mask, weight_mask, *,
-                         interpret: bool | None = None):
-    """Fused pooling. a_raw: [T, K]; b: [T, O]; mask: [T]; weight_mask: [K].
-
-    Returns (M [K, O], A1T [K, T], wROIs [K, T]) — identical numerics to the
-    unfused ops.nn path (tested to 1e-6).
-    """
+def _pool_forward(a_raw, b, mask, weight_mask, *,
+                  interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t, k = a_raw.shape
@@ -93,3 +88,58 @@ def gated_attention_pool(a_raw, b, mask, weight_mask, *,
     m, a1t, w = _pool_call(a_pad, b_pad, mask_pad, gate_pad,
                            interpret=bool(interpret))
     return m[:k, :o], a1t[:k, :t], w[:k, :t]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gated_attention_pool(a_raw, b, mask, weight_mask):
+    """Fused pooling. a_raw: [T, K]; b: [T, O]; mask: [T]; weight_mask: [K].
+
+    Returns (M [K, O], A1T [K, T], wROIs [K, T]) — identical numerics to the
+    unfused ops.nn path (tested to 1e-6). Differentiable: the forward is
+    the Pallas VMEM kernel; the backward is the closed-form VJP of the
+    softplus -> gate -> L1-normalize -> pool chain (gradients match the
+    unfused path, see tests). ``mask`` is treated as non-differentiable.
+    """
+    return _pool_forward(a_raw, b, mask, weight_mask)
+
+
+def _pool_fwd(a_raw, b, mask, weight_mask):
+    outs = _pool_forward(a_raw, b, mask, weight_mask)
+    return outs, (a_raw, b, mask, weight_mask, outs[1])
+
+
+def _pool_bwd(res, cotangents):
+    a_raw, b, mask, wm, a1t = res
+    dm, da1t, dw = cotangents
+    a1 = a1t.T                                   # [T, K]
+    m = mask[:, None]                            # [T, 1]
+
+    # recompute cheap forward intermediates
+    act = jax.nn.softplus(a_raw)                 # [T, K]
+    g1 = jax.nn.sigmoid(-10.0 * wm)              # [K]
+    g0 = jax.nn.sigmoid(10.0 * wm)               # [K]
+    gated = (g1 * act + g0) * m                  # [T, K], >= 0
+    denom = jnp.maximum(jnp.sum(gated, axis=0, keepdims=True), 1e-12)
+
+    # cotangent into A1 from all three outputs
+    da1 = b @ dm.T                               # M = A1^T B
+    da1 = da1 + da1t.T                           # A1T passthrough
+    da1 = da1 + dw.T * b[:, :1]                  # wROIs = A1^T * B^T
+    # cotangent into B
+    db = a1 @ dm                                 # [T, O]
+    db = db.at[:, 0].add(jnp.sum(dw.T * a1, axis=1))
+
+    # through the L1 normalization (gated >= 0 so |gated| = gated)
+    dgated = (da1 - jnp.sum(da1 * a1, axis=0, keepdims=True)) / denom
+
+    # through the gate and softplus (mask rows contribute nothing)
+    dact = dgated * g1 * m
+    da_raw = dact * jax.nn.sigmoid(a_raw)
+    dg1 = jnp.sum(dgated * act * m, axis=0)      # [K]
+    dg0 = jnp.sum(dgated * m, axis=0)            # [K]
+    dwm = (dg1 * (-10.0) * g1 * (1.0 - g1)
+           + dg0 * 10.0 * g0 * (1.0 - g0))
+    return da_raw, db, jnp.zeros_like(mask), dwm
+
+
+gated_attention_pool.defvjp(_pool_fwd, _pool_bwd)

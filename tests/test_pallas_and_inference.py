@@ -134,3 +134,50 @@ def test_classify_slide_streaming_matches_onepass(tmp_path, monkeypatch):
     np.testing.assert_allclose(p_stream, p_once, atol=1e-5)
     np.testing.assert_allclose(np.asarray(outs_s["Aterm"]),
                                np.asarray(outs_o["Aterm"]), atol=1e-5)
+
+
+def test_pallas_pool_gradients_match_unfused():
+    """The custom VJP of the fused kernel must match autodiff through the
+    unfused chain for every differentiable input (training path)."""
+    rng = np.random.default_rng(7)
+    t, k, o = 40, 3, 1
+    a_raw = jnp.asarray(rng.standard_normal((t, k)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((t, o)), jnp.float32)
+    mask = jnp.ones((t,)).at[33:].set(0.0)
+    wm = jnp.asarray(rng.standard_normal((k,)), jnp.float32)
+    cm = jnp.asarray(rng.standard_normal((k, o)), jnp.float32)
+    ca = jnp.asarray(rng.standard_normal((k, t)), jnp.float32)
+    cw = jnp.asarray(rng.standard_normal((k, t)), jnp.float32)
+
+    def fused_loss(a_raw, b, wm):
+        m, a1t, w = pallas_pool.gated_attention_pool(a_raw, b, mask, wm)
+        return jnp.sum(m * cm) + jnp.sum(a1t * ca) + jnp.sum(w * cw)
+
+    def unfused_loss(a_raw, b, wm):
+        m, a1t, w = _reference_pool(a_raw, b, mask, wm)
+        return jnp.sum(m * cm) + jnp.sum(a1t * ca) + jnp.sum(w * cw)
+
+    g_fused = jax.grad(fused_loss, argnums=(0, 1, 2))(a_raw, b, wm)
+    g_ref = jax.grad(unfused_loss, argnums=(0, 1, 2))(a_raw, b, wm)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-5)
+
+
+def test_model_trains_through_pallas_pool():
+    """A full model grad with use_pallas_pool=True matches the XLA path."""
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(8)
+    tiles = jnp.asarray(rng.random((16, 32, 32, 3)), jnp.float32)
+    mask = jnp.ones((16,))
+
+    def loss(p, fused):
+        return amil.apply_attention_mil(
+            p, tiles, 1, TINY, mask=mask, train=False,
+            use_pallas_pool=fused)["loss"]
+
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
