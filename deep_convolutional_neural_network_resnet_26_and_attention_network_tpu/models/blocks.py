@@ -19,6 +19,7 @@ stylegan.py carries the EqualLR/Fused/Blur/AdaIN family):
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..ops import init as I
@@ -36,11 +37,14 @@ def zero_dropout(x, p, rng, *, train: bool):
 
 
 # ------------------------------------------------------------ RBGtoHEres
-# skimage rgb_from_hed matrix (reference: nnBlocks.py:283-287)
-_RGB_FROM_HED = jnp.array([
+# skimage rgb_from_hed matrix (reference: nnBlocks.py:283-287).
+# Kept as numpy so importing the package performs zero device ops: a
+# module-level jnp.array would materialize on the default backend at import
+# time and break CPU-only dry runs on hosts with an unhealthy TPU stack.
+_RGB_FROM_HED = np.array([
     [1.8874, 0.2780, -1.5554],
     [-1.4174, 0.8393, 1.1682],
-    [-0.1583, -0.4823, 1.6774]], jnp.float32)
+    [-0.1583, -0.4823, 1.6774]], np.float32)
 
 
 def rgb_to_he_res(x):

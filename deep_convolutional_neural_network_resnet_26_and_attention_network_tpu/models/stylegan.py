@@ -30,6 +30,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # channel schedule for blocks at 4,8,16,32,64,128,256,512,1024 px
@@ -108,7 +109,10 @@ def fused_downsample(x, w, b, *, padding: int):
     return out + b
 
 
-_BLUR_KERNEL = jnp.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+# numpy, not jnp: a module-level device array would initialize the default
+# backend at import time and break CPU-only dry runs (see blocks._RGB_FROM_HED).
+_BLUR_KERNEL = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]],
+                        np.float32)
 _BLUR_KERNEL = _BLUR_KERNEL / _BLUR_KERNEL.sum()
 
 
