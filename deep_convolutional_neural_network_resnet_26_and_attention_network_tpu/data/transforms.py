@@ -35,6 +35,21 @@ def _resize_bilinear(x, resolution):
                             antialias=True)
 
 
+@partial(jax.jit, static_argnames=("resolution",))
+def resize_u8(tiles_u8, *, resolution: int):
+    """[N, H, W, 3] uint8 -> [N, res, res, 3] uint8, same anti-aliased
+    bilinear as the eval transform (used to prebuild GAN stores)."""
+    x = tiles_u8.astype(jnp.float32)
+    x = _resize_bilinear(x, resolution)
+    return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def normalize_u8(tiles_u8):
+    """[N, H, W, 3] uint8 -> float32 in [-1, 1] (no resize)."""
+    return _normalize(tiles_u8.astype(jnp.float32) / 255.0)
+
+
 @partial(jax.jit, static_argnames=("resolution", "pad", "roi_size"))
 def train_transform(tiles_u8, rng, *, roi_size: int, resolution: int,
                     pad: int = 100):

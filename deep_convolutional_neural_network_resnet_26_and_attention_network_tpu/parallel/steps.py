@@ -37,6 +37,13 @@ def make_optimizer():
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 
+def make_optimizer_legacy():
+    """Adam with the legacy driver's betas (reference:
+    gbm/classify.py:374, betas=(0.9, 0.99)); lr and per-group multipliers
+    are applied by the caller."""
+    return optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8)
+
+
 def init_train_state(params, tx=None) -> TrainState:
     tx = tx or make_optimizer()
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
@@ -69,24 +76,35 @@ def make_train_step(cfg: amil.MILConfig, tx=None, *, compute_dtype=None,
     """
     tx = tx or make_optimizer()
 
-    def step(state: TrainState, tiles, masks, labels, lr, rng):
+    def step(state: TrainState, tiles, masks, labels, lr, rng,
+             bag_weights=None):
+        """``bag_weights`` (optional [B] 0/1 floats) zeroes dummy bags so a
+        partial accumulation window can pad to the compiled batch size
+        without contributing gradients or metrics."""
         def loss_fn(params):
             outs = batched_forward(params, tiles, masks, labels, cfg,
                                    train=True, rng=rng,
                                    compute_dtype=compute_dtype)
-            return outs["loss"].sum(), outs
+            if bag_weights is None:
+                return outs["loss"].sum(), outs
+            return (outs["loss"] * bag_weights).sum(), outs
 
         (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
+        if bag_weights is None:
+            mean = lambda x: x.mean()  # noqa: E731
+        else:
+            denom = jnp.maximum(bag_weights.sum(), 1.0)
+            mean = lambda x: (x * bag_weights).sum() / denom  # noqa: E731
         metrics = {
-            "loss": outs["loss"].mean(),
-            "error": outs["error"].mean(),
-            "Aterm_mu": outs["Aterm_mu"].mean(),
-            "Aterm_var": outs["Aterm_var"].mean(),
-            "KLD": outs["KLD"].mean(),
-            "l2": outs["l2"].mean(),
+            "loss": mean(outs["loss"]),
+            "error": mean(outs["error"]),
+            "Aterm_mu": mean(outs["Aterm_mu"]),
+            "Aterm_var": mean(outs["Aterm_var"]),
+            "KLD": mean(outs["KLD"]),
+            "l2": mean(outs["l2"]),
             "y_pred": outs["y_pred"],
             "y_pred_hat": outs["y_pred_hat"],
         }

@@ -17,6 +17,7 @@ Run ``python -m deep_convolutional_neural_network_resnet_26_and_attention_networ
 """
 
 import argparse
+import contextlib
 import os
 import sys
 import time
@@ -31,7 +32,7 @@ from ..data import dataset as ds_mod
 from ..data.loader import sample_data
 from ..models import attention_mil as amil
 from ..parallel import steps
-from ..utils import helpers, plots
+from ..utils import helpers, plots, profiling
 from . import checkpoint, schedule
 
 TARGET_NAMES = ["A", "B", "C"]
@@ -80,6 +81,10 @@ def build_argparser():
     p.add_argument("--tensorboard", action="store_true",
                    help="stream epoch stats to runs/TAG_<tag> "
                         "(legacy SummaryWriter parity)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of the first "
+                        "trained epoch into <run>/profile/ and merge "
+                        "per-step wall-time percentiles into epoch stats")
     p.add_argument("--mesh", default=0, type=int,
                    help="train over an N-device (slides, tiles) mesh: each "
                         "accumulation window of bags becomes one sharded "
@@ -175,21 +180,33 @@ class Driver:
         batch_count = 0
         n = 0
         t0 = time.time()
+        timer = profiling.StepTimer() if getattr(self.args, "profile",
+                                                 False) else None
         for tiles, mask, label in loader:
-            outs, grads = self.grad_fn(self.state.params, tiles, mask,
-                                       jnp.int32(label), self.next_rng())
-            grad_acc = self.accumulate(grad_acc, grads)
-            batch_count += 1
-            if batch_count >= self.args.accum:
-                self.state = self.apply_updates(self.state, grad_acc,
-                                                jnp.float32(stage.lr))
-                grad_acc = steps.zeros_like_grads(self.state.params)
-                batch_count = 0
+            with (timer.step() if timer is not None
+                  else contextlib.nullcontext()):
+                outs, grads = self.grad_fn(self.state.params, tiles, mask,
+                                           jnp.int32(label), self.next_rng())
+                grad_acc = self.accumulate(grad_acc, grads)
+                batch_count += 1
+                if batch_count >= self.args.accum:
+                    self.state = self.apply_updates(self.state, grad_acc,
+                                                    jnp.float32(stage.lr))
+                    grad_acc = steps.zeros_like_grads(self.state.params)
+                    batch_count = 0
 
             for k in dev_metrics:
                 dev_metrics[k].append(outs[k])
             labels.append(label)
             n += 1
+        if batch_count:
+            # leftover partial window: step on it rather than dropping the
+            # accumulated gradients (the reference's un-zeroed .grad buffers
+            # carried this residue into the next epoch; see PARITY.md)
+            self.state = self.apply_updates(self.state, grad_acc,
+                                            jnp.float32(stage.lr))
+        if timer is not None:
+            epoch_stats["step_times"] = timer.summary()
         fetched = {k: np.asarray(jnp.stack(v)) if v else np.zeros((0,))
                    for k, v in dev_metrics.items()}  # one sync per key
         dt = time.time() - t0
@@ -241,6 +258,13 @@ class Driver:
 
         def run_window(bags):
             nonlocal n
+            real = len(bags)
+            # pad a partial tail window to the compiled batch size with
+            # zero-weight copies: they contribute neither gradients nor
+            # metrics, so every slide trains while jit sees one batch shape
+            weights = jnp.asarray([1.0] * real + [0.0]
+                                  * (self.args.accum - real), jnp.float32)
+            bags = bags + [bags[0]] * (self.args.accum - real)
             target = max(b[0].shape[0] for b in bags)
             tiles = jnp.stack([pad_bag(b[0], n_tiles=target)[0]
                                for b in bags])
@@ -252,21 +276,27 @@ class Driver:
             with self.mesh:
                 self.state, metrics = self.batched_step(
                     self.state, s_tiles, s_masks, s_labels,
-                    jnp.float32(stage.lr), self.next_rng())
-            b_count = len(bags)
+                    jnp.float32(stage.lr), self.next_rng(), weights)
             for k in dev_metrics:
                 # metrics are window means; store window SUMS for the /n
-                dev_metrics[k].append(metrics[k] * b_count)
-            preds_dev.append(metrics["y_pred_hat"].reshape(-1))
-            labels.extend(int(b[2]) for b in bags)
-            n += b_count
+                dev_metrics[k].append(metrics[k] * real)
+            preds_dev.append(metrics["y_pred_hat"].reshape(-1)[:real])
+            labels.extend(int(b[2]) for b in bags[:real])
+            n += real
 
+        timer = profiling.StepTimer() if getattr(self.args, "profile",
+                                                 False) else None
         for tiles, mask, label in loader:
             window.append((tiles, mask, label))
             if len(window) >= self.args.accum:
-                run_window(window)
+                with (timer.step() if timer is not None
+                      else contextlib.nullcontext()):
+                    run_window(window)
                 window = []
-        # leftover partial window is discarded, like the sequential path
+        if window:
+            run_window(window)  # partial tail window, zero-weight padded
+        if timer is not None:
+            epoch_stats["step_times"] = timer.summary()
 
         fetched = {k: _np.asarray(jnp.stack(v)) if v else _np.zeros((0,))
                    for k, v in dev_metrics.items()}
@@ -529,7 +559,14 @@ def main(argv=None):
         driver.visualize(0, vis_samples[0][0], mode=vis_samples[0][1])
     for ep in range(args.epoch_start, args.epoch_end + 1):
         epoch_stats = {}
-        if not driver.train_epoch(ep, dataset, epoch_stats):
+        # --profile: device trace of the first trained epoch only — traces
+        # grow with wall time, one epoch answers "where do steps go"
+        trace_ctx = (profiling.trace(os.path.join(output_dir, "profile"))
+                     if args.profile and ep == args.epoch_start
+                     else contextlib.nullcontext())
+        with trace_ctx:
+            keep_going = driver.train_epoch(ep, dataset, epoch_stats)
+        if not keep_going:
             break  # Stop stage
         if ep % 5 == 0:
             driver.validate(ep, dataset, epoch_stats)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..data.gan_dataset import ImageFolderDataset
+from ..data.gan_dataset import ImageFolderDataset, MultiResolutionStore
 from ..models import stylegan as sg
 from . import checkpoint
 
@@ -254,7 +254,13 @@ def train_gan(args):
     lr_sched = ({128: 0.0015, 256: 0.002, 512: 0.003, 1024: 0.003}
                 if args.sched else {})
 
-    dataset = ImageFolderDataset(args.data_dir, seed=args.seed)
+    # A prebuilt resolution-keyed store (meta.json marker) reads pre-resized
+    # tiles — the reference's LMDB MultiResolutionDataset; otherwise fall
+    # back to resize-on-fetch from a plain image folder.
+    if os.path.exists(os.path.join(args.data_dir, MultiResolutionStore.META)):
+        dataset = MultiResolutionStore(args.data_dir, seed=args.seed)
+    else:
+        dataset = ImageFolderDataset(args.data_dir, seed=args.seed)
     max_step = int(math.log2(args.max_size)) - 2
     n_blocks = len(sg._gen_layout(width))
 

@@ -273,3 +273,65 @@ def test_gan_dataset_mixed_sizes_resize_full_frame(tmp_path):
     # black (-1.0) borders on the smaller image
     expected = 200 / 127.5 - 1.0
     np.testing.assert_allclose(arr, expected, atol=1e-2)
+
+
+# ------------------------------------------- resolution-keyed store (A10)
+def test_multi_resolution_store_build_and_switch(image_dir, tmp_path):
+    """Prebuilt per-resolution reads match resize-on-fetch (reference:
+    style-based-gan-pytorch-master-512/dataset.py:8-40)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.gan_dataset import (
+        ImageFolderDataset,
+        MultiResolutionStore,
+    )
+
+    out = str(tmp_path / "store")
+    store = MultiResolutionStore.build(image_dir, out,
+                                       resolutions=(4, 8, 16), seed=0)
+    assert len(store) == 12
+    for r in (4, 8, 16):
+        assert os.path.exists(os.path.join(out, f"res_{r:04d}.npy"))
+
+    # reopen from disk and switch resolutions: shapes + range per resolution
+    store = MultiResolutionStore(out, seed=0)
+    for r in (4, 16, 8):  # out-of-order switching
+        store.NewResolution(r, 4)
+        batch = next(iter(store.batches(shuffle=False)))
+        assert batch.shape == (4, r, r, 3)
+        assert float(batch.min()) >= -1.0 and float(batch.max()) <= 1.0
+
+    # pre-resized values match the on-the-fly pipeline up to u8 rounding
+    folder = ImageFolderDataset(image_dir, seed=0)
+    folder.NewResolution(8, 4)
+    live = next(iter(folder.batches(shuffle=False)))
+    store.NewResolution(8, 4)
+    pre = next(iter(store.batches(shuffle=False)))
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(live),
+                               atol=1.5 / 127.5)
+
+    # unknown resolution is a KeyError, not silent resize
+    with pytest.raises(KeyError):
+        store.NewResolution(6)
+
+
+def test_gan_trainer_uses_store(image_dir, tmp_path):
+    """The trainer auto-detects a prebuilt store directory."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.gan_dataset import (
+        MultiResolutionStore,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    store_dir = str(tmp_path / "store")
+    MultiResolutionStore.build(image_dir, store_dir, resolutions=(4, 8),
+                               seed=0)
+    out = str(tmp_path / "gan_out")
+    args = gan.build_argparser().parse_args([
+        "--data_dir", store_dir, "--output_dir", out,
+        "--epochs", "2", "--step_every", "1", "--init_size", "4",
+        "--max_size", "8", "--width_mult", str(WM), "--code_size", "32",
+        "--batch_override", "4", "--max_batches", "2", "--phase", "8",
+    ])
+    gan.train_gan(args)
+    assert os.path.exists(os.path.join(out, "checkpoint",
+                                       "train_step-1.model"))

@@ -349,3 +349,108 @@ def test_classify_cli_mesh_training(synthetic_tree, tmp_path, monkeypatch):
     with open(run / summaries[0]) as f:
         stats = _json.load(f)
     assert np.isfinite(stats["train_loss"])
+
+
+def test_classify_legacy_cli(synthetic_tree, tmp_path, monkeypatch):
+    """The legacy GAN-discriminator driver shim trains, checkpoints, and
+    exports .dla maps + manifests end to end (reference: gbm/classify.py)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify_legacy,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "legacy"
+    out_root.mkdir()
+    common = [
+        "--resolution", "16", "--width_mult", "0.125", "--disc_cutoff", "2",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32", "--seed", "3",
+    ]
+    rc = classify_legacy.main(
+        ["--epoch_start", "0", "--epoch_end", "1", "--accum", "2",
+         "--lr", "5e-4", "--transfer"] + common)
+    assert rc == 0
+    run = next(p for p in out_root.iterdir()
+               if p.name.startswith("run_attention_classifier"))
+    ckpt = run / "train_step-000.model"
+    assert ckpt.exists()
+
+    # test-only mode: caMicroscope manifests, move script, .dla maps
+    rc = classify_legacy.main(["--test_only", "--ckpt", str(ckpt)] + common)
+    assert rc == 0
+    test_dir = out_root / "test_data"
+    assert (test_dir / "manifest_image.csv").exists()
+    assert (test_dir / "move_images.sh").exists()
+    names = os.listdir(test_dir)
+    assert any(n.startswith("prediction-AGMIL-ATTN") and n.endswith(".dla")
+               for n in names)
+    assert any(n.startswith("prediction-AGMIL-ACTF3") for n in names)
+
+
+def test_classify_cli_profile_flag(synthetic_tree, tmp_path, monkeypatch):
+    """--profile captures a device trace + per-step percentiles."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "PROF", "--arch", "tiny", "--resolution", "16",
+        "--epoch_start", "0", "--epoch_end", "0", "--accum", "2",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32", "--profile",
+    ])
+    assert rc == 0
+    run = out_root / "run_PROF"
+    prof = run / "profile"
+    assert prof.exists() and any(prof.rglob("*"))  # trace files written
+    summaries = [f for f in os.listdir(run) if f.endswith("summary.json")]
+    with open(run / summaries[0]) as f:
+        stats = json.load(f)
+    assert "step_times" in stats and stats["step_times"]["steps"] >= 1
+
+
+def test_train_step_bag_weights_zero_out_dummy_bags():
+    """A window padded with zero-weight copies takes the same optimizer
+    step and reports the same metrics as the unpadded window (the
+    partial-tail-window mechanism in the mesh driver)."""
+    import jax.numpy as jnp
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        attention_mil as amil,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        steps,
+    )
+
+    # dropout=0 so the per-bag rng split (which differs between B=2 and
+    # B=4) cannot perturb the forward
+    cfg = amil.MILConfig(widths=(4, 4, 4, 4), blocks=(1, 1, 1, 1), L=8, D=4,
+                         dropout=0.0, train_tile_fraction=1.0)
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    step = steps.make_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    bag = jnp.asarray(rng.random((2, 8, 16, 16, 3)), jnp.float32)
+    masks = jnp.ones((2, 8), jnp.float32)
+    labels = jnp.asarray([0, 1], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    s_ref, m_ref = step(steps.init_train_state(params), bag, masks, labels,
+                        jnp.float32(1e-3), key, jnp.ones((2,), jnp.float32))
+
+    bag4 = jnp.concatenate([bag, bag[:1], bag[:1]], axis=0)
+    masks4 = jnp.concatenate([masks, masks[:1], masks[:1]], axis=0)
+    labels4 = jnp.concatenate([labels, labels[:1], labels[:1]])
+    w4 = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)
+    s_pad, m_pad = step(steps.init_train_state(params), bag4, masks4,
+                        labels4, jnp.float32(1e-3), key, w4)
+
+    for k in ("loss", "error", "Aterm_mu", "KLD"):
+        assert np.isclose(float(m_ref[k]), float(m_pad[k]), atol=1e-5), k
+    ra = jax.tree_util.tree_leaves(s_ref.params)
+    rb = jax.tree_util.tree_leaves(s_pad.params)
+    assert all(np.allclose(a, b, atol=1e-6) for a, b in zip(ra, rb))
