@@ -135,3 +135,32 @@ def from_torch_state_dict(params, state_dict):
             continue
         loaded.append(name)
     return out, loaded
+
+
+# the reference's pretrained weight URLs (reference: alt_resnet.py:11-21)
+MODEL_URLS = {
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "resnet34": "https://download.pytorch.org/models/resnet34-333f7ec4.pth",
+}
+
+
+def from_pretrained(params, arch: str = "resnet18", *, url: str = None,
+                    progress: bool = True):
+    """Overlay torchvision's pretrained ImageNet weights
+    (reference: alt_resnet.py:148-165 ``load_state_dict_from_url``).
+
+    Downloads through torch.hub's cache; raises a clear error offline —
+    ``from_torch_state_dict`` with a locally saved ``.pth`` is the
+    egress-free path."""
+    import torch
+
+    url = url or MODEL_URLS[arch]
+    try:
+        state_dict = torch.hub.load_state_dict_from_url(
+            url, progress=progress, map_location="cpu")
+    except Exception as e:  # no egress / bad mirror
+        raise RuntimeError(
+            f"could not fetch pretrained weights from {url}; download the "
+            ".pth manually and use from_torch_state_dict(params, "
+            "torch.load(path))") from e
+    return from_torch_state_dict(params, state_dict)

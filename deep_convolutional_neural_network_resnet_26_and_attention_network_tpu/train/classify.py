@@ -207,6 +207,8 @@ class Driver:
                                             jnp.float32(stage.lr))
         if timer is not None:
             epoch_stats["step_times"] = timer.summary()
+        if hasattr(loader, "stall_fraction"):
+            epoch_stats["input_stall_fraction"] = loader.stall_fraction()
         fetched = {k: np.asarray(jnp.stack(v)) if v else np.zeros((0,))
                    for k, v in dev_metrics.items()}  # one sync per key
         dt = time.time() - t0
@@ -297,6 +299,8 @@ class Driver:
             run_window(window)  # partial tail window, zero-weight padded
         if timer is not None:
             epoch_stats["step_times"] = timer.summary()
+        if hasattr(loader, "stall_fraction"):
+            epoch_stats["input_stall_fraction"] = loader.stall_fraction()
 
         fetched = {k: _np.asarray(jnp.stack(v)) if v else _np.zeros((0,))
                    for k, v in dev_metrics.items()}

@@ -143,3 +143,31 @@ def test_trace_writes_files(tmp_path):
     for root, _, files in os.walk(tmp_path):
         found.extend(files)
     assert found  # some trace artifact landed
+
+
+def test_from_pretrained_offline_error_and_delegation(monkeypatch):
+    """from_pretrained fetches via torch.hub and overlays; offline it
+    raises an actionable error (reference: alt_resnet.py:148-165)."""
+    import pytest
+    import torch
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        alt_resnet,
+    )
+
+    params = alt_resnet.resnet18(jax.random.PRNGKey(0))
+
+    def boom(*a, **k):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(torch.hub, "load_state_dict_from_url", boom)
+    with pytest.raises(RuntimeError, match="from_torch_state_dict"):
+        alt_resnet.from_pretrained(params, "resnet18")
+
+    # with a reachable "url" it must delegate to the state-dict overlay
+    sd = {"conv1.weight": torch.zeros(64, 3, 7, 7)}
+    monkeypatch.setattr(torch.hub, "load_state_dict_from_url",
+                        lambda *a, **k: sd)
+    out, loaded = alt_resnet.from_pretrained(params, "resnet18")
+    assert loaded == ["conv1.weight"]
+    assert float(np.abs(np.asarray(out["conv1"]["w"])).max()) == 0.0

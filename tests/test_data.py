@@ -404,3 +404,28 @@ def test_train_data_pad_scales_with_roi(tmp_path, monkeypatch):
     # constant-200 tiles normalize to ~0.57; zero padding shows up as -1.0
     frac_padding = float((bag < -0.9).mean())
     assert frac_padding < 0.3, frac_padding
+
+
+def test_prefetcher_stall_instrumentation():
+    """BagPrefetcher reports device-idle (wait) time and bag counts."""
+    import time as _time
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.loader import (
+        BagPrefetcher,
+    )
+
+    class Slow:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            _time.sleep(0.02)  # slow producer -> consumer must wait
+            return np.ones((3, 4, 4, 3), np.float32), i % 3
+
+    pf = BagPrefetcher(Slow(), buckets=(4,))
+    for _ in pf:
+        pass
+    assert pf.stats["bags"] == 4
+    assert pf.stats["produce_s"] > 0
+    assert 0.0 <= pf.stall_fraction() <= 1.0
+    assert pf.stats["wait_s"] > 0  # nothing overlaps a 0-work consumer
