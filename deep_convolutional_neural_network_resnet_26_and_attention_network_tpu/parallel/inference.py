@@ -45,6 +45,25 @@ def _cached_extract(cfg, compute_dtype):
     return _FWD_CACHE[key]
 
 
+def _cached_transform_extract(cfg, compute_dtype, resolution):
+    """uint8 chunk -> features, ONE dispatch: the transform fuses into the
+    extractor program so the streaming loop pays a single per-chunk
+    dispatch and never materializes the f32 chunk between programs (the
+    per-dispatch overhead is multi-ms on remote devices — PROFILE.md)."""
+    from ..data import transforms
+    from ..models import resnet
+
+    key = ("tx_extract", cfg, str(compute_dtype), resolution)
+    if key not in _FWD_CACHE:
+        def run(p, raw_u8):
+            tiles = transforms.eval_transform(raw_u8, resolution=resolution)
+            return resnet.apply_resnet26(
+                p, tiles, compute_dtype=compute_dtype).astype(jnp.float32)
+
+        _FWD_CACHE[key] = jax.jit(run)
+    return _FWD_CACHE[key]
+
+
 def _cached_pool(cfg):
     key = ("pool", cfg)
     if key not in _FWD_CACHE:
@@ -76,7 +95,7 @@ def classify_slide(params, cfg: amil.MILConfig, builder, *,
 
 
 def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
-                             resolution: int = 300, chunk: int = 256,
+                             resolution: int = 300, chunk: int = 1024,
                              compute_dtype=jnp.bfloat16):
     """Unbounded-slide inference: stream tile chunks through the extractor,
     then pool once over the tiny [T, L] feature matrix.
@@ -88,13 +107,11 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     per-bag batch-norm uses global feature statistics computed after the
     streaming pass (SURVEY.md §5's 'bag-dimension sharding' argument, in
     time instead of space). Returns (probs, outputs dict, coords)."""
-    from ..data import transforms
-
     if builder.params.get("resolution") != resolution:
         builder.update_resolution_and_buffer(resolution)
     raw, coords = builder._load_cache(with_coords=True)
 
-    extract = _cached_extract(cfg, compute_dtype)
+    extract = _cached_transform_extract(cfg, compute_dtype, resolution)
 
     feats = []
     for start in range(0, raw.shape[0], chunk):
@@ -102,9 +119,8 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
         valid = part.shape[0]
         if valid < chunk:
             part = np.pad(part, [(0, chunk - valid)] + [(0, 0)] * 3)
-        tiles = transforms.eval_transform(jnp.asarray(part),
-                                          resolution=resolution)
-        feats.append(extract(params["cnn"], tiles)[:valid])
+        # uint8 H2D (4x less transfer) + transform + extract in one program
+        feats.append(extract(params["cnn"], jnp.asarray(part))[:valid])
     H = jnp.concatenate(feats, axis=0)
 
     pool = _cached_pool(cfg)
