@@ -35,6 +35,50 @@ STEP_BATCH_SIZE = {4: 256, 8: 256, 16: 256, 32: 256, 64: 256, 128: 128,
                    256: 128, 512: 100}  # reference: train.py:61
 
 
+def _prefetch(iterable, depth: int = 2):
+    """Background-thread prefetch: overlaps the dataset's decode + H2D
+    with the device steps (same pattern as data.loader.BagPrefetcher; the
+    reference used DataLoader workers, train.py loader_kwargs)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+    closed = threading.Event()  # consumer stopped early (e.g. max_batches)
+
+    def put(item) -> bool:
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in iterable:
+                if not put(item):
+                    return
+        except Exception as e:
+            put(e)
+        put(stop)
+
+    threading.Thread(target=produce, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        # a consumer break must not leave the producer blocked on a full
+        # queue holding device-resident batches
+        closed.set()
+
+
 def make_optimizers(lr: float):
     """Adam(0.0, 0.99); the style-MLP group trains at lr*0.01
     (reference: train.py:279-291)."""
@@ -289,7 +333,7 @@ def train_gan(args):
         disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)
         t0 = time.time()
         n_batches = 0
-        for i, real in enumerate(dataset.batches()):
+        for i, real in enumerate(_prefetch(dataset.batches())):
             n_batches += 1
             if args.max_batches and i >= args.max_batches:
                 break
