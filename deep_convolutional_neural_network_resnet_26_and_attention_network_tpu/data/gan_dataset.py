@@ -119,20 +119,47 @@ class MultiResolutionStore:
     # ---------------------------------------------------------------- build
     @classmethod
     def build(cls, src_root: str, out_dir: str, *,
-              resolutions=(8, 16, 32, 64, 128, 256, 512),
+              resolutions=(4, 8, 16, 32, 64, 128, 256, 512),
               seed: int | None = None, max_items: int | None = None,
               chunk: int = 64) -> "MultiResolutionStore":
         """Prebuild the store from a folder of images / ``.npy`` tile stacks.
 
-        Each source image is loaded once and resized to every resolution
-        (device-batched, the same anti-aliased bilinear the eval transform
-        uses), stored as uint8. Mirrors the reference's prepare step that
-        fills LMDB with pre-resized encodings.
+        Every image — and every tile of every ``.npy`` tile stack — is
+        loaded once and resized to every resolution (device-batched, the
+        same anti-aliased bilinear the eval transform uses), stored as
+        uint8. Mirrors the reference's prepare step that fills LMDB with
+        pre-resized encodings. Resolutions start at 4: progressive
+        training begins at the 4x4 step (train.py's ``init_size``), so a
+        store missing it would crash epoch 0.
         """
         import json
 
-        src = ImageFolderDataset(src_root, seed=seed, max_items=max_items)
-        n = len(src)
+        src = ImageFolderDataset(src_root, seed=seed)
+
+        def iter_items():
+            """Yield every uint8 image: plain files as-is, tile stacks
+            expanded to ALL their tiles (ImageFolderDataset samples one
+            random tile per fetch; a prebuilt store must not collapse a
+            2000-tile stack to one frozen tile)."""
+            count = 0
+            for path in src.files:
+                if path.endswith(".npy"):
+                    arr = np.load(path, mmap_mode="r")
+                    stack = arr if arr.ndim == 4 else arr[None]
+                    for i in range(stack.shape[0]):
+                        if max_items and count >= max_items:
+                            return
+                        yield np.asarray(stack[i], np.uint8)
+                        count += 1
+                else:
+                    if max_items and count >= max_items:
+                        return
+                    yield src._load(path)
+                    count += 1
+
+        n = sum(1 for _ in iter_items())
+        if n == 0:
+            raise FileNotFoundError(f"no images under {src_root}")
         os.makedirs(out_dir, exist_ok=True)
         outs = {
             r: np.lib.format.open_memmap(
@@ -140,8 +167,9 @@ class MultiResolutionStore:
                 dtype=np.uint8, shape=(n, r, r, 3))
             for r in resolutions
         }
-        for start in range(0, n, chunk):
-            imgs = [src._load(p) for p in src.files[start:start + chunk]]
+        start, imgs = 0, []
+
+        def flush(start, imgs):
             uniform = len({im.shape for im in imgs}) == 1
             for r in resolutions:
                 if uniform:
@@ -153,6 +181,14 @@ class MultiResolutionStore:
                                              resolution=r)
                         for im in imgs], axis=0)
                 outs[r][start:start + len(imgs)] = np.asarray(batch)
+
+        for img in iter_items():
+            imgs.append(img)
+            if len(imgs) == chunk:
+                flush(start, imgs)
+                start, imgs = start + len(imgs), []
+        if imgs:
+            flush(start, imgs)
         for mm in outs.values():
             mm.flush()
         with open(os.path.join(out_dir, cls.META), "w") as f:
@@ -213,7 +249,9 @@ def _main():
     ap.add_argument("--src", required=True, help="image / tile-stack folder")
     ap.add_argument("--out", required=True, help="store output directory")
     ap.add_argument("--max-size", type=int, default=512)
-    ap.add_argument("--min-size", type=int, default=8)
+    ap.add_argument("--min-size", type=int, default=4,
+                    help="progressive training starts at 4x4 — keep 4 "
+                         "unless --init_size is raised to match")
     ap.add_argument("--max-items", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
     args = ap.parse_args()

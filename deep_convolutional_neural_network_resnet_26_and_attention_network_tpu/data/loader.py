@@ -91,58 +91,73 @@ class BagPrefetcher:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
-        q: queue.Queue = queue.Queue(maxsize=self.depth)
-        stop = object()
-        closed = threading.Event()  # consumer stopped iterating early
-
-        def put(item) -> bool:
-            while not closed.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
 
         def produce():
-            try:
-                for idx in order:
-                    if closed.is_set():
-                        return
-                    t0 = time.perf_counter()
-                    item = self.dataset[int(idx)]
-                    tiles, label = item[0], item[1]
-                    tiles, mask = pad_bag(jnp.asarray(tiles),
-                                          buckets=self.buckets,
-                                          multiple_of=self.multiple_of)
-                    label = int(np.asarray(label).reshape(-1)[0])
-                    self.stats["produce_s"] += time.perf_counter() - t0
-                    if not put((tiles, mask, label, *item[2:])):
-                        return
-            except Exception as e:  # surface producer errors to the consumer
-                put(e)
-            put(stop)
+            for idx in order:
+                t0 = time.perf_counter()
+                item = self.dataset[int(idx)]
+                tiles, label = item[0], item[1]
+                tiles, mask = pad_bag(jnp.asarray(tiles),
+                                      buckets=self.buckets,
+                                      multiple_of=self.multiple_of)
+                label = int(np.asarray(label).reshape(-1)[0])
+                self.stats["produce_s"] += time.perf_counter() - t0
+                yield (tiles, mask, label, *item[2:])
 
-        thread = threading.Thread(target=produce, daemon=True)
-        thread.start()
         t_iter = time.perf_counter()
         try:
-            while True:
-                t0 = time.perf_counter()
-                item = q.get()
-                self.stats["wait_s"] += time.perf_counter() - t0
-                if item is stop:
-                    break
-                if isinstance(item, Exception):
-                    raise item
+            for item in prefetch_iter(produce(), depth=self.depth,
+                                      stats=self.stats):
                 self.stats["bags"] += 1
                 yield item
         finally:
             self.stats["consume_s"] += time.perf_counter() - t_iter
-            # breaking out of the loop (e.g. peak mode's single bag) must
-            # not leave the producer blocked on a full queue holding
-            # device-resident bags
-            closed.set()
+
+
+def prefetch_iter(iterable, *, depth: int = 2, stats: dict | None = None):
+    """Background-thread prefetch of any iterable: overlaps the producer's
+    work (decode/augment/H2D) with the consumer's device steps.
+
+    Producer exceptions re-raise in the consumer. A consumer that stops
+    early (break/GC) cannot leave the producer blocked on a full queue
+    holding device-resident items. ``stats['wait_s']``, when given,
+    accumulates consumer block time (= device idle caused by input)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+    closed = threading.Event()
+
+    def put(item) -> bool:
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in iterable:
+                if closed.is_set() or not put(item):
+                    return
+        except Exception as e:  # surface producer errors to the consumer
+            put(e)
+        put(stop)
+
+    threading.Thread(target=produce, daemon=True).start()
+    try:
+        while True:
+            t0 = time.perf_counter()
+            item = q.get()
+            if stats is not None:
+                stats["wait_s"] += time.perf_counter() - t0
+            if item is stop:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        closed.set()
 
 
 def sample_data(dataset, *, image_size: int | None = None,

@@ -34,17 +34,6 @@ def _cached_bag_forward(cfg, compute_dtype, use_pallas_pool):
     return _FWD_CACHE[key]
 
 
-def _cached_extract(cfg, compute_dtype):
-    from ..models import resnet
-
-    key = ("extract", cfg, str(compute_dtype))
-    if key not in _FWD_CACHE:
-        _FWD_CACHE[key] = jax.jit(
-            lambda p, t: resnet.apply_resnet26(
-                p, t, compute_dtype=compute_dtype).astype(jnp.float32))
-    return _FWD_CACHE[key]
-
-
 def _cached_transform_extract(cfg, compute_dtype, resolution):
     """uint8 chunk -> features, ONE dispatch: the transform fuses into the
     extractor program so the streaming loop pays a single per-chunk
@@ -112,6 +101,15 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     raw, coords = builder._load_cache(with_coords=True)
 
     extract = _cached_transform_extract(cfg, compute_dtype, resolution)
+
+    # big chunks amortize the per-dispatch overhead, but a slide smaller
+    # than the chunk must not pad up to it (a 100-tile slide zero-padded
+    # to 1024 would run 10x the useful forward work): clamp to the
+    # power-of-two bucket covering the slide, so program shapes stay on
+    # the cached ladder
+    if raw.shape[0] < chunk:
+        from ..data.loader import bucket_for
+        chunk = min(chunk, bucket_for(max(raw.shape[0], 1)))
 
     feats = []
     for start in range(0, raw.shape[0], chunk):

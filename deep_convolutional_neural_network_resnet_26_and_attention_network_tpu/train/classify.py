@@ -258,9 +258,11 @@ class Driver:
         n = 0
         t0 = time.time()
 
+        last_real = self.args.accum  # size of the most recent window
+
         def run_window(bags):
-            nonlocal n
-            real = len(bags)
+            nonlocal n, last_real
+            real = last_real = len(bags)
             # pad a partial tail window to the compiled batch size with
             # zero-weight copies: they contribute neither gradients nor
             # metrics, so every slide trains while jit sees one batch shape
@@ -317,8 +319,9 @@ class Driver:
         epoch_stats["train_wsum"] = float(fetched["Aterm_mu"].sum()) / n
         epoch_stats["train_wvar"] = float(fetched["Aterm_var"].sum()) / n
         # reference keeps the last bag's l2; here the last window's mean
-        n_last = self.args.accum
-        epoch_stats["train_cll2"] = (float(fetched["l2"][-1]) / n_last
+        # (the last window may be a partial zero-weight-padded tail, so
+        # divide by its REAL bag count, not args.accum)
+        epoch_stats["train_cll2"] = (float(fetched["l2"][-1]) / last_real
                                      if len(fetched["l2"]) else 0.0)
         epoch_stats["train_kld"] = float(fetched["KLD"].sum()) / n
         epoch_stats["train_err"] = float(fetched["error"].sum()) / n

@@ -90,13 +90,14 @@ def _load_discriminator(args, key):
     if args.gan_ckpt:
         with np.load(args.gan_ckpt, allow_pickle=False) as z:
             blob = {k: z[k] for k in z.files}
-        flat = checkpoint._flatten(disc)
-        order = list(flat.keys())
-        leaves, treedef = jax.tree_util.tree_flatten(disc)
-        new = [jnp.asarray(blob.get(f"discriminator/{k}", leaf))
-               for k, leaf in zip(order, leaves)]
-        disc = jax.tree_util.tree_unflatten(treedef, new)
-        print(f"Loaded discriminator from {args.gan_ckpt}")
+        disc, loaded, total = gan.restore_section(disc, blob,
+                                                  "discriminator")
+        print(f"Loaded discriminator from {args.gan_ckpt}: "
+              f"{loaded}/{total} tensors")
+        if loaded < total:
+            print(f"WARNING: {total - loaded} discriminator tensors missing "
+                  "or shape-mismatched (check --width_mult matches the GAN "
+                  "run); those layers keep RANDOM init weights")
     else:
         print("WARNING: no --gan_ckpt; extractor uses random discriminator "
               "weights (smoke/e2e use only)")
@@ -183,6 +184,11 @@ def train_epoch(args, epoch, dataset, state, fns, writer, global_steps):
                     state.params,
                     os.path.join(args.output_dir,
                                  f"layer_summary-{global_steps:05d}.png"))
+    if count:
+        # step on the leftover partial window rather than dropping it —
+        # same tail policy as the main driver (PARITY.md deviation #1)
+        state = apply_fn(state, grad_acc, jnp.float32(args.lr))
+        global_steps += 1
     loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
     err = float(np.mean(np.asarray(preds) != np.asarray(labels))) if labels \
         else float("nan")

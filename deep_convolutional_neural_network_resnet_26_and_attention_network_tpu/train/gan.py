@@ -28,55 +28,12 @@ import jax.numpy as jnp
 import optax
 
 from ..data.gan_dataset import ImageFolderDataset, MultiResolutionStore
+from ..data.loader import prefetch_iter
 from ..models import stylegan as sg
 from . import checkpoint
 
 STEP_BATCH_SIZE = {4: 256, 8: 256, 16: 256, 32: 256, 64: 256, 128: 128,
                    256: 128, 512: 100}  # reference: train.py:61
-
-
-def _prefetch(iterable, depth: int = 2):
-    """Background-thread prefetch: overlaps the dataset's decode + H2D
-    with the device steps (same pattern as data.loader.BagPrefetcher; the
-    reference used DataLoader workers, train.py loader_kwargs)."""
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    stop = object()
-    closed = threading.Event()  # consumer stopped early (e.g. max_batches)
-
-    def put(item) -> bool:
-        while not closed.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def produce():
-        try:
-            for item in iterable:
-                if not put(item):
-                    return
-        except Exception as e:
-            put(e)
-        put(stop)
-
-    threading.Thread(target=produce, daemon=True).start()
-    try:
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
-    finally:
-        # a consumer break must not leave the producer blocked on a full
-        # queue holding device-resident batches
-        closed.set()
 
 
 def make_optimizers(lr: float):
@@ -218,21 +175,34 @@ def save_gan_checkpoint(path, params_g, params_d, opt_g, opt_d, g_running):
     return path
 
 
+def restore_section(tree, blob, section: str):
+    """Overlay a 5-part checkpoint blob's ``section/`` leaves onto a
+    template pytree. Returns (tree, n_loaded, n_total) so callers can
+    detect layout mismatches instead of silently training on init
+    weights (shape-mismatched or missing leaves keep the template)."""
+    flat = checkpoint._flatten(tree)
+    order = list(flat.keys())
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    new, loaded = [], 0
+    for k, leaf in zip(order, leaves):
+        v = blob.get(f"{section}/{k}")
+        if v is not None and tuple(v.shape) == tuple(np.shape(leaf)):
+            new.append(jnp.asarray(v))
+            loaded += 1
+        else:
+            new.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new), loaded, len(leaves)
+
+
 def load_gan_checkpoint(path, params_g, params_d, opt_g, opt_d, g_running):
     with np.load(path, allow_pickle=False) as z:
         blob = {k: z[k] for k in z.files}
-
-    def restore(tree, section):
-        flat = checkpoint._flatten(tree)
-        order = list(flat.keys())
-        leaves, treedef = jax.tree_util.tree_flatten(tree)
-        new = [jnp.asarray(blob.get(f"{section}/{k}", leaf))
-               for k, leaf in zip(order, leaves)]
-        return jax.tree_util.tree_unflatten(treedef, new)
-
-    return (restore(params_g, "generator"), restore(params_d, "discriminator"),
-            restore(opt_g, "g_optimizer"), restore(opt_d, "d_optimizer"),
-            restore(g_running, "g_running"))
+    return tuple(
+        restore_section(tree, blob, section)[0]
+        for tree, section in [(params_g, "generator"),
+                              (params_d, "discriminator"),
+                              (opt_g, "g_optimizer"), (opt_d, "d_optimizer"),
+                              (g_running, "g_running")])
 
 
 def build_argparser():
@@ -333,7 +303,9 @@ def train_gan(args):
         disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)
         t0 = time.time()
         n_batches = 0
-        for i, real in enumerate(_prefetch(dataset.batches())):
+        # background prefetch overlaps decode + H2D with the device steps
+        # (the reference used DataLoader workers, train.py loader_kwargs)
+        for i, real in enumerate(prefetch_iter(dataset.batches())):
             n_batches += 1
             if args.max_batches and i >= args.max_batches:
                 break

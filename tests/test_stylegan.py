@@ -335,3 +335,24 @@ def test_gan_trainer_uses_store(image_dir, tmp_path):
     gan.train_gan(args)
     assert os.path.exists(os.path.join(out, "checkpoint",
                                        "train_step-1.model"))
+
+
+def test_multi_resolution_store_expands_tile_stacks(tmp_path):
+    """A .npy tile stack contributes ALL its tiles to the store (the
+    resize-on-fetch fallback samples one random tile per fetch; a prebuilt
+    store must not collapse the stack)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.gan_dataset import (
+        MultiResolutionStore,
+    )
+
+    d = tmp_path / "stacks"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(d / "slide.npy",
+            rng.integers(0, 256, (7, 16, 16, 3)).astype(np.uint8))
+    store = MultiResolutionStore.build(str(d), str(tmp_path / "store"),
+                                       resolutions=(4, 8), seed=0)
+    assert len(store) == 7
+    store.NewResolution(8, 7)
+    batch = next(iter(store.batches(shuffle=False)))
+    assert batch.shape == (7, 8, 8, 3)
