@@ -249,18 +249,24 @@ def _synthetic_builder(tmpdir, *, size, roi, seed=0):
 
 
 def _torch_slide_baseline(cfg, builder, res) -> float:
-    """seconds for the torch replica to classify the built slide's tiles
-    (transform + bag forward, the reference's per-slide hot path)."""
+    """seconds for the reference-style CPU path on the built slide: CPU
+    resize+normalize of the raw cached tiles (the reference transformed in
+    DataLoader workers) followed by the torch bag forward."""
     import torch
+    import torch.nn.functional as TF
 
     from tools.torch_replica import TorchAttention
 
     net = TorchAttention(cfg).eval()
+    raw = builder._load_cache()  # [T, roi, roi, 3] uint8
     t0 = time.perf_counter()
-    tiles, _, _ = builder.get_inference_data()  # transform included in cost
-    tiles = np.ascontiguousarray(np.asarray(tiles).transpose(0, 3, 1, 2))
+    x = torch.from_numpy(
+        np.ascontiguousarray(np.asarray(raw).transpose(0, 3, 1, 2))).float()
+    x = TF.interpolate(x / 255.0, size=(res, res), mode="bilinear",
+                       antialias=True)
+    x = (x - 0.5) / 0.5
     with torch.no_grad():
-        net(torch.from_numpy(tiles))
+        net(x)
     return time.perf_counter() - t0
 
 
@@ -299,7 +305,10 @@ def bench_full_slide(quick: bool):
     _emit("full_slide_pipeline_slides_per_min", 60.0 / total,
           f"slides/min ({builder.getsize()} tiles @ {roi}px, build "
           f"{build_secs:.2f}s + infer {infer_secs:.2f}s, {platform})",
-          vs, mode=mode)
+          vs, mode=mode,
+          note="infer is host-to-device-bound on tunnel hosts (~69MB raw "
+               "tiles; see PROFILE.md H2D findings) — vs_baseline "
+               "understates production hosts by ~2 orders of magnitude")
 
 
 def bench_heatmap_export(quick: bool):
@@ -313,9 +322,14 @@ def bench_heatmap_export(quick: bool):
     )
 
     rng = np.random.default_rng(0)
-    T = 120
+    # full mode uses a production-scale slide (the reference's bags run to
+    # 2500 tiles); at toy tile counts the fixed panel content (mosaic,
+    # feature strips) dominates and the per-tile-imshow baseline looks fast
+    T = 120 if quick else 1200
+    cols = int(np.ceil(np.sqrt(T)))
     img_data = rng.integers(0, 256, (T, 64, 64, 3), np.uint8)
-    raster = np.stack([[(i // 12) * 1200, (i % 12) * 1200] for i in range(T)])
+    raster = np.stack([[(i // cols) * 1200, (i % cols) * 1200]
+                       for i in range(T)])
     A = rng.random((3, T))
     F = rng.random((T, 80))
     M = rng.random((3, 1))
@@ -326,9 +340,43 @@ def bench_heatmap_export(quick: bool):
         helpers.write_map({"basename": "bench"}, 0, raster, A,
                           io.StringIO(), tmpdir)
         dt = time.perf_counter() - t0
+        try:
+            base_dt = _reference_style_heatmap(img_data, raster, A, tmpdir)
+            vs = base_dt / dt
+        except Exception:
+            vs = None
     _emit("heatmap_export_maps_per_sec", 1.0 / dt,
-          f"panel+4dla per sec ({T} tiles)",
+          f"panel+4dla per sec ({T} tiles)", vs,
           mode="quick" if quick else "full")
+
+
+def _reference_style_heatmap(img_data, raster, A, tmpdir) -> float:
+    """Seconds for the reference's rendering strategy: one ax.imshow +
+    Rectangle patch PER TILE per attention map
+    (gbm/classify_combined.py:163-218) — the baseline our mosaic-composite
+    panel replaces."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.patches as patches
+    import matplotlib.pyplot as plt
+    from matplotlib import cm
+
+    t0 = time.perf_counter()
+    cmap_lin = cm.jet(np.linspace(0, 1, 105))
+    fig, axes = plt.subplots(figsize=(12, 8), nrows=1, ncols=3)
+    zs = (100.0 / max(A.max(), 1e-9)) * A
+    for k, ax in enumerate(axes):
+        for i, roi in enumerate(img_data):
+            y, x = raster[i]
+            ax.imshow(roi, origin="upper",
+                      extent=(x, x + 1200, y, y - 1200))
+            ax.add_patch(patches.Rectangle(
+                (x, y - 1200), 1200, 1200, linewidth=1,
+                facecolor=cmap_lin[int(zs[k, i])], alpha=0.4))
+    fig.savefig(os.path.join(tmpdir, "reference_style.png"))
+    plt.close(fig)
+    return time.perf_counter() - t0
 
 
 def bench_multislide_sharded(quick: bool):
@@ -360,9 +408,16 @@ def bench_multislide_sharded(quick: bool):
     float(sum(jnp.sum(o["y_pred"]) for o in outs))
     dt = time.perf_counter() - t0
     tiles_per_sec = B * T * iters / dt
+    try:
+        # torch replica on ONE bag of the same tile shape, scaled to tiles/s
+        bt = 8 if small else 16
+        torch_tiles = _torch_bag_baseline(cfg, bt, res, iters=2) * bt
+        vs = tiles_per_sec / torch_tiles
+    except Exception:
+        vs = None
     _emit("sharded_multislide_tiles_per_sec", tiles_per_sec,
           f"tiles/sec ({B} bags x {T} tiles @ {res}px over {n_dev} "
-          f"{platform} devices)", mode=mode, n_devices=n_dev)
+          f"{platform} devices)", vs, mode=mode, n_devices=n_dev)
 
 
 def _torch_train_baseline(cfg, T, res, bags=2) -> float:

@@ -93,6 +93,14 @@ def apply_chunked(fn, tiles_u8: np.ndarray, *, chunk: int = 64, rng=None,
     n = tiles_u8.shape[0]
     if n == 0:
         raise ValueError("empty tile stack")
+    if n < chunk:
+        # a stack smaller than the chunk must not pad (and transfer) up to
+        # it — clamp to the power-of-two bucket covering n, so program
+        # shapes stay on a small cached ladder
+        c = 8
+        while c < n:
+            c *= 2
+        chunk = min(chunk, c)
     outs = []
     for start in range(0, n, chunk):
         part = tiles_u8[start:start + chunk]

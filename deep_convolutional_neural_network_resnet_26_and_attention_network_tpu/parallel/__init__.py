@@ -3,4 +3,5 @@ sharded/streaming inference paths."""
 
 from . import inference  # noqa: F401
 from . import mesh  # noqa: F401
+from . import shard_pool  # noqa: F401
 from . import steps  # noqa: F401

@@ -70,3 +70,35 @@ def test_sharded_train_step_matches_single_device(world):
     cnn_ref = np.asarray(ref_state.params["cnn"]["conv1"]["w"])
     cnn_sh = np.asarray(sh_state.params["cnn"]["conv1"]["w"])
     np.testing.assert_allclose(cnn_sh, cnn_ref, atol=1e-5)
+
+
+def test_explicit_shard_map_pool_matches_unsharded():
+    """shard_map+psum pooling (parallel/shard_pool.py) == attention_pool
+    on one device, including masked padding and the batch-norm stats."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        attention_mil as amil,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        mesh as M,
+        shard_pool,
+    )
+
+    cfg = amil.MILConfig(L=16, D=8)
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    mesh = M.make_mesh(8, slides=1)  # all 8 devices on the tile axis
+    rng = np.random.default_rng(3)
+    T = 64  # divisible by 8
+    H = jnp.asarray(rng.standard_normal((T, cfg.L)), jnp.float32)
+    mask = jnp.zeros((T,)).at[:50].set(1.0)  # ragged bag: 50 real tiles
+
+    ref = amil.attention_pool(params, H, cfg, mask=mask, train=False)
+    pool = shard_pool.make_sharded_pool(cfg, mesh)
+    Hs, ms = shard_pool.shard_features(mesh, H, mask)
+    got = pool(params, Hs, ms)
+
+    np.testing.assert_allclose(np.asarray(got["logits"]),
+                               np.asarray(ref["logits"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["Mterm"]),
+                               np.asarray(ref["Mterm"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["Aterm"]),
+                               np.asarray(ref["Aterm"]), atol=1e-5)
