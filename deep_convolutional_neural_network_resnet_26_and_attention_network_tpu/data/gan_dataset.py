@@ -157,7 +157,18 @@ class MultiResolutionStore:
                     yield src._load(path)
                     count += 1
 
-        n = sum(1 for _ in iter_items())
+        # count from metadata only (npy headers via mmap, +1 per image
+        # file) — a counting pass through iter_items would fully decode
+        # every image twice
+        n = 0
+        for path in src.files:
+            if path.endswith(".npy"):
+                arr = np.load(path, mmap_mode="r")
+                n += int(arr.shape[0]) if arr.ndim == 4 else 1
+            else:
+                n += 1
+        if max_items:
+            n = min(n, max_items)
         if n == 0:
             raise FileNotFoundError(f"no images under {src_root}")
         os.makedirs(out_dir, exist_ok=True)

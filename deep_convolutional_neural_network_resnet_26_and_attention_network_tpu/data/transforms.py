@@ -97,10 +97,9 @@ def apply_chunked(fn, tiles_u8: np.ndarray, *, chunk: int = 64, rng=None,
         # a stack smaller than the chunk must not pad (and transfer) up to
         # it — clamp to the power-of-two bucket covering n, so program
         # shapes stay on a small cached ladder
-        c = 8
-        while c < n:
-            c *= 2
-        chunk = min(chunk, c)
+        from .loader import bucket_for
+
+        chunk = min(chunk, bucket_for(n, buckets=(8, 16, 32, 64)))
     outs = []
     for start in range(0, n, chunk):
         part = tiles_u8[start:start + chunk]

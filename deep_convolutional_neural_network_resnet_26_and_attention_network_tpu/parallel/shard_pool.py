@@ -37,8 +37,9 @@ from . import mesh as M
 def make_sharded_pool(cfg: MILConfig, mesh):
     """Returns pool(params, H [T, L], mask [T]) -> {logits, Mterm, Aterm}.
 
-    T must divide the mesh's tile-axis size; H/mask may arrive with any
-    sharding (shard_map re-lays them out onto the tiles axis).
+    The mesh's tile-axis size must divide T (pad the bag with zero-mask
+    tiles otherwise); H/mask may arrive with any sharding (shard_map
+    re-lays them out onto the tiles axis).
     """
     ax = M.TILES_AXIS
     spec_tiles = P(ax)

@@ -197,12 +197,18 @@ def restore_section(tree, blob, section: str):
 def load_gan_checkpoint(path, params_g, params_d, opt_g, opt_d, g_running):
     with np.load(path, allow_pickle=False) as z:
         blob = {k: z[k] for k in z.files}
-    return tuple(
-        restore_section(tree, blob, section)[0]
-        for tree, section in [(params_g, "generator"),
-                              (params_d, "discriminator"),
-                              (opt_g, "g_optimizer"), (opt_d, "d_optimizer"),
-                              (g_running, "g_running")])
+    out = []
+    for tree, section in [(params_g, "generator"),
+                          (params_d, "discriminator"),
+                          (opt_g, "g_optimizer"), (opt_d, "d_optimizer"),
+                          (g_running, "g_running")]:
+        tree, loaded, total = restore_section(tree, blob, section)
+        if loaded < total:
+            print(f"WARNING: checkpoint {path} section '{section}': only "
+                  f"{loaded}/{total} tensors matched (width_mult/layout "
+                  "mismatch?); unmatched layers keep RANDOM init weights")
+        out.append(tree)
+    return tuple(out)
 
 
 def build_argparser():
