@@ -175,20 +175,45 @@ class RoiBuilder:
             roi_size=self.params["roi_size"], resolution=self._resolution,
             pad=pad)
 
+    # resolution-keyed eval-tile cache: the eval transform is deterministic,
+    # so its output is cached per (slide, roi_size, resolution) — the
+    # reference re-resized every validation pass (RoiBuilder.py:240-259),
+    # paying full-res IO + resize each of the ~68 validation sweeps of a
+    # 340-epoch run. The cache stores the transform's f32 output, so the
+    # cached and uncached paths are bitwise identical. Only engaged when
+    # actually downsizing (at roi_size == resolution the f32 copy would be
+    # 4x LARGER than the raw uint8 cache).
+    eval_cache_enabled = True
+
+    def _eval_cache_path(self) -> str:
+        return "{0}/eval_{1}_rois_size{2}_res{3}_v1.npy".format(
+            self.params["root_cache_dir"], self.params["basename"],
+            self.params["roi_size"], self._resolution)
+
+    def _eval_tiles(self, data):
+        """Transformed eval bag for the raw stack, via the f32 cache."""
+        use_cache = (self.eval_cache_enabled
+                     and self.params["roi_size"] > self._resolution)
+        path = self._eval_cache_path() if use_cache else None
+        if path and os.path.isfile(path):
+            return jnp.asarray(np.load(path))
+        out = transforms.apply_chunked(
+            transforms.eval_transform, data, resolution=self._resolution)
+        if path:
+            np.save(path, np.asarray(out))
+        return out
+
     def get_validation_data(self):
         """Deterministic bag [T, res, res, 3] (reference: RoiBuilder.py:240-259)."""
         self._require_ready()
         data = self._load_cache()
         if len(data) == 0:
             return jnp.zeros(EMPTY_BAG_SHAPE, jnp.float32)
-        return transforms.apply_chunked(
-            transforms.eval_transform, data, resolution=self._resolution)
+        return self._eval_tiles(data)
 
     def get_inference_data(self):
         """(tiles [T, res, res, 3], coords [T, 2], raw uint8 tiles) — no
         randomization or capping (reference: RoiBuilder.py:261-284)."""
         self._require_ready()
         img_data, coords = self._load_cache(with_coords=True)
-        stacks = transforms.apply_chunked(
-            transforms.eval_transform, img_data, resolution=self._resolution)
-        return stacks, coords, img_data
+        return self._eval_tiles(img_data), coords, img_data

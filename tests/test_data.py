@@ -429,3 +429,44 @@ def test_prefetcher_stall_instrumentation():
     assert pf.stats["produce_s"] > 0
     assert 0.0 <= pf.stall_fraction() <= 1.0
     assert pf.stats["wait_s"] > 0  # nothing overlaps a 0-work consumer
+
+
+def test_eval_tile_cache_roundtrip(tmp_path, monkeypatch):
+    """The resolution-keyed eval cache returns bitwise-identical bags and
+    skips the transform on the second call."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+        slide_io,
+        transforms,
+    )
+
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(0)
+    base = np.array([140, 60, 170], np.int16)
+    img = np.clip(base + rng.integers(-40, 40, (256, 256, 3)), 0,
+                  255).astype(np.uint8)
+    path = slide_io.write_synthetic_slide(str(tmp_path / "s.npy"), img)
+    b = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    b.build()
+    b.update_resolution_and_buffer(16)  # downsizing -> cache engages
+
+    first = np.asarray(b.get_validation_data())
+    cache_file = b._eval_cache_path()
+    assert os.path.isfile(cache_file)
+
+    # second call must come from the cache (transform forbidden)...
+    def boom(*a, **k):
+        raise AssertionError("transform ran despite eval cache")
+
+    monkeypatch.setattr(transforms, "apply_chunked", boom)
+    second = np.asarray(b.get_validation_data())
+    np.testing.assert_array_equal(first, second)  # ...and be bitwise equal
+    monkeypatch.undo()
+
+    # at roi_size == resolution the cache must NOT engage (f32 copy would
+    # be 4x larger than the raw uint8 cache)
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    b2 = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    b2.update_resolution_and_buffer(64)
+    b2.get_validation_data()
+    assert not os.path.isfile(b2._eval_cache_path())
