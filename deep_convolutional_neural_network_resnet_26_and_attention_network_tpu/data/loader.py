@@ -63,17 +63,26 @@ class BagPrefetcher:
     # step time waiting for host decode+H2D; depth 4 measured 0.9%
     def __init__(self, dataset, *, shuffle: bool = False, depth: int = 4,
                  buckets=DEFAULT_BUCKETS, multiple_of: int = 1,
-                 seed: int | None = None):
+                 seed: int | None = None, workers: int = 1):
+        """``workers`` > 1 runs N producer threads (the reference's
+        DataLoader ``num_workers``, gbm/classify.py:86) — parallel disk
+        reads for when host IO, not the device, bounds the pipeline.
+        Delivery is then out of order, so it requires ``shuffle=True``
+        (eval paths need order and keep the single in-order producer)."""
+        if workers > 1 and not shuffle:
+            raise ValueError("workers > 1 delivers out of order; eval "
+                             "iteration needs order — use shuffle=True")
         self.dataset = dataset
         self.shuffle = shuffle
         self.depth = depth
         self.buckets = buckets
         self.multiple_of = multiple_of
+        self.workers = workers
         self._rng = np.random.default_rng(seed)
         # input-pipeline stall instrumentation: `wait_s` is how long the
         # consumer (= the device's feeder) blocked on an empty queue —
         # device-idle time caused by the input pipeline; `produce_s` is
-        # host decode/augment/H2D time per bag on the producer thread
+        # host decode/augment/H2D time per bag on the producer thread(s)
         self.stats = {"bags": 0, "wait_s": 0.0, "produce_s": 0.0,
                       "consume_s": 0.0}
 
@@ -83,35 +92,64 @@ class BagPrefetcher:
     def stall_fraction(self) -> float:
         """Fraction of the consumer's wall time spent waiting for bags
         (>0.1 means the input pipeline is the bottleneck — raise `depth`
-        or move more of the transform on device)."""
+        or `workers`, or move more of the transform on device)."""
         total = self.stats["consume_s"]
         return self.stats["wait_s"] / total if total > 0 else 0.0
+
+    def _produce_one(self, idx: int):
+        t0 = time.perf_counter()
+        item = self.dataset[int(idx)]
+        tiles, label = item[0], item[1]
+        tiles, mask = pad_bag(jnp.asarray(tiles), buckets=self.buckets,
+                              multiple_of=self.multiple_of)
+        label = int(np.asarray(label).reshape(-1)[0])
+        self.stats["produce_s"] += time.perf_counter() - t0
+        return (tiles, mask, label, *item[2:])
 
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
 
-        def produce():
-            for idx in order:
-                t0 = time.perf_counter()
-                item = self.dataset[int(idx)]
-                tiles, label = item[0], item[1]
-                tiles, mask = pad_bag(jnp.asarray(tiles),
-                                      buckets=self.buckets,
-                                      multiple_of=self.multiple_of)
-                label = int(np.asarray(label).reshape(-1)[0])
-                self.stats["produce_s"] += time.perf_counter() - t0
-                yield (tiles, mask, label, *item[2:])
+        if self.workers > 1:
+            source = _parallel_items(self._produce_one, order, self.workers)
+        else:
+            source = (self._produce_one(idx) for idx in order)
 
         t_iter = time.perf_counter()
         try:
-            for item in prefetch_iter(produce(), depth=self.depth,
+            for item in prefetch_iter(source, depth=self.depth,
                                       stats=self.stats):
                 self.stats["bags"] += 1
                 yield item
         finally:
             self.stats["consume_s"] += time.perf_counter() - t_iter
+
+
+def _parallel_items(fn, indices, workers: int):
+    """Yield fn(idx) for every index, computed by a thread pool, delivered
+    as they complete (out of order). Lazy: at most ``workers`` items are
+    in flight, so device-resident bags don't pile up."""
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = set()
+        it = iter(indices)
+        try:
+            while True:
+                while len(pending) < workers:
+                    try:
+                        pending.add(pool.submit(fn, next(it)))
+                    except StopIteration:
+                        break
+                if not pending:
+                    return
+                done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    yield fut.result()
+        finally:
+            for fut in pending:
+                fut.cancel()
 
 
 def prefetch_iter(iterable, *, depth: int = 2, stats: dict | None = None):

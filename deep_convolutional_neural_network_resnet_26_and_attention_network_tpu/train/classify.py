@@ -69,6 +69,9 @@ def build_argparser():
                    help="tile size on the slide (default: RoiBuilder's 1200)")
     p.add_argument("--accum", default=5, type=int,
                    help="gradient-accumulation slides per optimizer step")
+    p.add_argument("--workers", default=1, type=int,
+                   help="producer threads for the training bag loader "
+                        "(the reference's DataLoader num_workers)")
     p.add_argument("--arch", default="full", choices=["full", "tiny"],
                    help="tiny = smoke-test model (CI/CPU)")
     p.add_argument("--seed", default=0, type=int)
@@ -164,7 +167,8 @@ class Driver:
         dataset.train()
         loader = sample_data(dataset, image_size=self.args.resolution,
                              shuffle=True,
-                             multiple_of=getattr(self, "tiles_multiple", 1))
+                             multiple_of=getattr(self, "tiles_multiple", 1),
+                             workers=getattr(self.args, "workers", 1))
 
         if self.mesh is not None:
             return self._train_epoch_mesh(epoch, stage, loader, epoch_stats)

@@ -470,3 +470,26 @@ def test_eval_tile_cache_roundtrip(tmp_path, monkeypatch):
     b2.update_resolution_and_buffer(64)
     b2.get_validation_data()
     assert not os.path.isfile(b2._eval_cache_path())
+
+
+def test_prefetcher_multiworker_delivers_all_bags():
+    """workers>1 parallelizes production; every bag arrives exactly once
+    (order-free, hence train/shuffle only)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.loader import (
+        BagPrefetcher,
+    )
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return np.full((2, 4, 4, 3), i, np.float32), i % 3
+
+    pf = BagPrefetcher(DS(), shuffle=True, workers=4, buckets=(2,), seed=0)
+    seen = sorted(int(tiles[0, 0, 0, 0]) for tiles, _, _ in pf)
+    assert seen == list(range(12))
+    assert pf.stats["bags"] == 12
+
+    with pytest.raises(ValueError, match="shuffle"):
+        BagPrefetcher(DS(), shuffle=False, workers=2)
