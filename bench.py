@@ -135,6 +135,33 @@ def _staged_u8(base, i):
     return x
 
 
+def _device_calibration_tflops(chains: int = 16) -> float:
+    """Achievable bf16 matmul TFLOP/s right now (chained 4096^3 matmuls).
+    The tunnel device throttles erratically BETWEEN runs; recording the
+    calibration alongside the headline lets consumers normalize
+    throughput across rounds (PROFILE.md 'device calibration')."""
+    n = 4096
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        y = x.astype(jnp.bfloat16)
+        for _ in range(chains):
+            y = jnp.dot(y, y)
+            y = y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(chain(x))  # compile + warmup
+    best = np.inf
+    for i in range(2):
+        xv = jax.jit(lambda b, i: b * (1.0 + 1e-3 * i))(x, jnp.float32(i + 1))
+        float(jnp.sum(xv))
+        t0 = time.perf_counter()
+        float(chain(xv))
+        best = min(best, time.perf_counter() - t0)
+    return chains * 2 * n**3 / best / 1e12
+
+
 def bench_resnet_forward(quick: bool, repeats: int = 3):
     platform = jax.devices()[0].platform
     mode = "quick" if quick else "full"
@@ -177,6 +204,14 @@ def bench_resnet_forward(quick: bool, repeats: int = 3):
     extra = {"mode": mode, "batch_per_dispatch": K * B}
     if mfu is not None:
         extra["mfu"] = mfu
+        try:
+            calib = _device_calibration_tflops()
+            extra["device_matmul_tflops"] = round(calib, 1)
+            # throttle-normalized throughput: tiles/s per achievable TFLOP/s
+            extra["tiles_per_sec_per_calib_tflops"] = round(
+                tiles_per_sec / calib, 1)
+        except Exception:
+            pass
     _emit("resnet26_forward_tiles_per_sec_per_chip", tiles_per_sec,
           f"tiles/sec ({TILE_RES}x{TILE_RES}, uint8 in, bf16, {platform})",
           vs, **extra)
