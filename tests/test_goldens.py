@@ -56,3 +56,31 @@ def test_gbmnet_alias_submodules():
     assert alias_loader is loader
     assert alias_resnet is resnet
     assert gbmnet.models.attention_mil.MILConfig is amil.MILConfig
+
+
+def test_fullwidth_forward_matches_golden():
+    """Production-width (20/40/60/80, L=80) forward at 300px must
+    reproduce frozen outputs — the tiny golden alone would miss drift in
+    the full-width init/arch path. Regenerate recipe: this file's git
+    history (fixed PRNGKey(7) params, default_rng(2024) tiles)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        resnet,
+    )
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "attention_mil_fullwidth.npz"))
+    cfg = amil.MILConfig()
+    params = amil.init_attention_mil(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(2024)
+    tiles = jnp.asarray(rng.standard_normal((4, 300, 300, 3)), jnp.float32)
+    out = amil.apply_attention_mil(params, tiles, 2, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(out["y_pred"]), g["y_pred"],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["Mterm"]), g["Mterm"],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["Aterm"]), g["Aterm"],
+                               atol=1e-6)
+    np.testing.assert_allclose(float(out["loss"]), float(g["loss"]),
+                               atol=1e-6)
+    emb = resnet.apply_resnet26(params["cnn"], tiles)
+    np.testing.assert_allclose(np.asarray(emb), g["emb"], atol=1e-5)
