@@ -129,17 +129,78 @@ def device_calibration(iters=8):
                       "sec_per_chain": round(sec, 4)}))
 
 
+def profile_train(tiles_per_bag=512, res=300, iters=3):
+    """Decompose the single-bag training step: forward-only vs
+    forward+backward vs the full step incl. Adam, remat on/off.
+    Device-resident inputs (the H2D cost is a separate, documented story —
+    PROFILE.md 'the 14.4s mystery')."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        attention_mil as amil,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        steps,
+    )
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.random((tiles_per_bag, res, res, 3)), jnp.float32)
+    mask = jnp.ones((tiles_per_bag,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    print(f"train-step profile  bag={tiles_per_bag}x{res}px bf16 "
+          f"device={jax.devices()[0].platform}")
+    for remat in (False, True):
+        cfg = amil.MILConfig(remat=remat)
+        params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+        state = steps.init_train_state(params)
+        tx = steps.make_optimizer()
+
+        def fwd_only(p, x):
+            return amil.apply_attention_mil(
+                p, x, 0, cfg, mask=mask, train=True, rng=key,
+                compute_dtype=jnp.bfloat16)["loss"]
+
+        def tree_checksum(t):
+            # consume EVERY leaf — returning one grad leaf lets XLA
+            # dead-code-eliminate the rest of the backward
+            return sum(jnp.vdot(g, g) for g in jax.tree_util.tree_leaves(t))
+
+        def fwd_bwd(p, x):
+            return tree_checksum(jax.grad(fwd_only)(p, x))
+
+        def full_step(s, x):
+            grads = jax.grad(fwd_only)(s.params, x)
+            updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            import optax
+            p2 = optax.apply_updates(
+                s.params,
+                jax.tree_util.tree_map(lambda u: -2e-4 * u, updates))
+            return tree_checksum(p2) + tree_checksum(opt_state)
+
+        t_f = time_fn(lambda x: fwd_only(params, x), base, iters)
+        t_g = time_fn(lambda x: fwd_bwd(params, x), base, iters)
+        t_s = time_fn(lambda x: full_step(state, x), base, iters)
+        print(f"  remat={remat}: fwd {t_f*1e3:7.1f} ms | fwd+bwd "
+              f"{t_g*1e3:7.1f} ms (bwd/fwd {t_g/t_f - 1:4.1f}x) | "
+              f"+adam {t_s*1e3:7.1f} ms | "
+              f"{tiles_per_bag/t_s:,.0f} trained tiles/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--res", type=int, default=300)
     ap.add_argument("--device-calibration", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the training step instead of the forward")
+    ap.add_argument("--tiles-per-bag", type=int, default=512)
     ap.add_argument("--json", action="store_true", help="machine-readable")
     args = ap.parse_args()
 
     if args.device_calibration:
         device_calibration()
+        return
+    if args.train:
+        profile_train(args.tiles_per_bag, args.res, max(args.iters // 2, 2))
         return
 
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
