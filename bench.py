@@ -93,6 +93,10 @@ def _emit(metric, value, unit, vs_baseline=None, **extra):
     }
     for k, v in extra.items():
         rec[k] = round(float(v), 4) if isinstance(v, float) else v
+    if rec.get("mode") == "quick" and "note" not in rec:
+        rec["note"] = ("quick mode runs toy shapes where fixed dispatch "
+                       "overhead dominates; compare vs_baseline in full "
+                       "mode only")
     print(json.dumps(rec))
 
 
@@ -538,10 +542,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--config", type=int, default=1, choices=range(1, 7))
+    ap.add_argument("--all", action="store_true",
+                    help="run every config (one JSON line each)")
     args = ap.parse_args()
-    [bench_resnet_forward, bench_bag_inference, bench_full_slide,
-     bench_heatmap_export, bench_multislide_sharded, bench_train_step][
-         args.config - 1](args.quick)
+    benches = [bench_resnet_forward, bench_bag_inference, bench_full_slide,
+               bench_heatmap_export, bench_multislide_sharded,
+               bench_train_step]
+    if args.all:
+        for bench in benches:
+            bench(args.quick)
+        return
+    benches[args.config - 1](args.quick)
 
 
 if __name__ == "__main__":
