@@ -53,6 +53,7 @@ class MILConfig:
     dropout: float = 0.25
     train_tile_fraction: float = 0.2
     remat: bool = False  # checkpoint resnet blocks (large training bags)
+    stem: str = "conv7"  # "s2d" = space-to-depth stem fast path (same math)
     class_weights: Optional[Tuple[float, ...]] = None
     widths: Tuple[int, ...] = resnet.WIDTHS
     blocks: Tuple[int, ...] = resnet.BLOCKS_PER_STAGE
@@ -199,7 +200,8 @@ def apply_attention_mil(params, tiles, label, cfg: MILConfig = MILConfig(), *,
     else:
         H = resnet.apply_resnet26(params["cnn"], jax.lax.stop_gradient(tiles),
                                   compute_dtype=compute_dtype,
-                                  remat=cfg.remat and train)  # [T, L]
+                                  remat=cfg.remat and train,
+                                  stem=cfg.stem)  # [T, L]
     H = H.astype(jnp.float32)
 
     KLD = 0.5 * N.masked_mean((H ** 2).mean(axis=1), mask, axis=0)

@@ -18,6 +18,8 @@ that vmaps/shards cleanly over the tile axis.
 
 from typing import Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +29,84 @@ from ..ops import nn as N
 WIDTHS = (20, 40, 60, 80)
 BLOCKS_PER_STAGE = (3, 3, 3, 3)
 EMBED_DIM = 80
+
+
+def _s2d_index_maps():
+    """Static index maps rearranging the [7,7,3,co] stem kernel into the
+    equivalent [4,4,12,co] kernel over space-to-depth input.
+
+    Derivation: out(i) = sum_u W7[u] x[2i+u-3]; write u-3 = 2m+dy with
+    dy = (u-3) % 2, m = (u-3-dy)//2 — the tap lands at s2d row i+m,
+    parity dy, i.e. conv4 tap a = m+2 with asymmetric padding (2, 1).
+    Every (u, v, c) source maps to a unique (a, b, channel) slot; slots
+    with no source stay zero. numpy (not jnp) so importing performs no
+    device ops.
+    """
+    src_u, src_v, src_c = [], [], []
+    dst_a, dst_b, dst_ch = [], [], []
+    for u in range(7):
+        ky = u - 3
+        dy = ky % 2
+        a = (ky - dy) // 2 + 2
+        for v in range(7):
+            kx = v - 3
+            dx = kx % 2
+            b = (kx - dx) // 2 + 2
+            for c in range(3):
+                src_u.append(u)
+                src_v.append(v)
+                src_c.append(c)
+                dst_a.append(a)
+                dst_b.append(b)
+                dst_ch.append((dy * 2 + dx) * 3 + c)
+    mk = lambda x: np.asarray(x, np.int32)  # noqa: E731
+    return (mk(src_u), mk(src_v), mk(src_c),
+            mk(dst_a), mk(dst_b), mk(dst_ch))
+
+
+_S2D_MAPS = _s2d_index_maps()
+
+
+def stem_s2d_kernel(w7):
+    """[7,7,3,co] stem weights -> the equivalent [4,4,12,co] s2d kernel
+    (see :func:`_s2d_index_maps`). Trace-time rearrange: checkpoints keep
+    the canonical 7x7 layout; this is purely an execution-path detail."""
+    su, sv, sc, da, db, dch = _S2D_MAPS
+    w4 = jnp.zeros((4, 4, 12, w7.shape[-1]), w7.dtype)
+    return w4.at[da, db, dch].set(w7[su, sv, sc])
+
+
+def space_to_depth2(x):
+    """[N,2H,2W,C] -> [N,H,W,4C], channel index (dy*2+dx)*C + c."""
+    n, h2, w2, c = x.shape
+    y = x.reshape(n, h2 // 2, 2, w2 // 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, h2 // 2, w2 // 2, 4 * c)
+
+
+def apply_stem(params, x, *, compute_dtype=None, act_fn=None,
+               stem: str = "conv7"):
+    """Stem: conv7x7 s2 p3 -> LeakyReLU -> maxpool3 s2 p1.
+
+    ``stem="s2d"`` computes the identical math as a space-to-depth
+    rearrange + conv4x4 s1 cin=12 — measurably faster on TPU because the
+    cin=3 strided conv underfills the MXU while the rearrange rides the
+    ingest's elementwise pass (PROFILE.md "space-to-depth stem, revisited";
+    exact same sum of products, only float summation order differs).
+    Falls back to conv7 for odd spatial sizes.
+    """
+    act = act_fn or N.leaky_relu
+    if stem == "s2d" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        xc = x.astype(compute_dtype) if compute_dtype is not None else x
+        w4 = stem_s2d_kernel(params["conv1"]["w"])
+        h = N.conv2d(space_to_depth2(xc), w4, params["conv1"]["b"],
+                     stride=1, padding=[(2, 1), (2, 1)],
+                     compute_dtype=compute_dtype)
+    else:
+        h = N.conv2d(x, params["conv1"]["w"], params["conv1"]["b"], stride=2,
+                     padding=3, compute_dtype=compute_dtype)
+    h = act(h)
+    return N.max_pool(h, window=3, stride=2, padding=1)
 
 
 def init_block(key, cin, cout, stride):
@@ -83,7 +163,7 @@ def init_resnet26(key, *, embed_dim: int = EMBED_DIM,
 
 
 def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False,
-                   act_fn=None, remat: bool = False):
+                   act_fn=None, remat: bool = False, stem: str = "conv7"):
     """Forward: x [N, H, W, 3] -> embeddings [N, embed_dim].
 
     With ``taps=True`` also returns an ordered dict of intermediate
@@ -95,13 +175,14 @@ def apply_resnet26(params, x, *, compute_dtype=None, taps: bool = False,
     ``remat=True`` checkpoints each residual block (jax.checkpoint), trading
     recompute for activation memory — full-width 2500-tile training bags
     don't fit 16 GB HBM otherwise.
+
+    ``stem="s2d"`` selects the space-to-depth stem fast path (identical
+    math, see :func:`apply_stem`).
     """
     act = act_fn or N.leaky_relu
     acts = {}
-    h = N.conv2d(x, params["conv1"]["w"], params["conv1"]["b"], stride=2,
-                 padding=3, compute_dtype=compute_dtype)
-    h = act(h)
-    h = N.max_pool(h, window=3, stride=2, padding=1)
+    h = apply_stem(params, x, compute_dtype=compute_dtype, act_fn=act,
+                   stem=stem)
     if taps:
         acts["stem"] = h
     def block_fn(p, x, stride):

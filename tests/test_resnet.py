@@ -90,3 +90,42 @@ def test_torch_parity():
     ours = np.asarray(resnet.apply_resnet26(params, jnp.asarray(x)))
     theirs = _torch_forward(jax.tree_util.tree_map(np.asarray, params), x)
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
+
+
+def test_s2d_stem_matches_conv7():
+    """The space-to-depth stem fast path computes the identical sum of
+    products as conv7x7 s2 p3 — f32 values and gradients must agree to
+    float-reassociation tolerance, including at the zero-padded borders."""
+    params = resnet.init_resnet26(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(11)
+    for hw in (300, 128, 32):
+        x = jnp.asarray(rng.standard_normal((2, hw, hw, 3)), jnp.float32)
+        a = resnet.apply_stem(params, x)
+        b = resnet.apply_stem(params, x, stem="s2d")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+    # full forward + gradient wrt stem weights
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    def loss(p, stem):
+        return jnp.sum(resnet.apply_resnet26(p, x, stem=stem) ** 2)
+
+    la, ga = jax.value_and_grad(loss)(params, "conv7")
+    lb, gb = jax.value_and_grad(loss)(params, "s2d")
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    # float reassociation through 26 layers: a few elements drift to ~2e-3
+    # relative; the math is the identical sum of products
+    np.testing.assert_allclose(np.asarray(ga["conv1"]["w"]),
+                               np.asarray(gb["conv1"]["w"]),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_s2d_stem_odd_size_falls_back():
+    params = resnet.init_resnet26(jax.random.PRNGKey(3))
+    x = jnp.zeros((1, 31, 31, 3), jnp.float32)
+    a = resnet.apply_stem(params, x)
+    b = resnet.apply_stem(params, x, stem="s2d")  # odd -> conv7 fallback
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
