@@ -20,6 +20,20 @@ import jax.numpy as jnp
 from . import transforms
 
 
+def _is_image_array(path: str) -> bool:
+    """True unless ``path`` is a .npy that is not image-shaped. RoiBuilder
+    caches live next to their ``coor_*.npy`` coordinate arrays ([T, 2]) —
+    globbing a tile-cache dir must not ingest those as images. Shape comes
+    from the npy header via mmap (no data read)."""
+    if not path.endswith(".npy"):
+        return True
+    try:
+        shape = np.load(path, mmap_mode="r").shape
+    except Exception:
+        return False
+    return (len(shape) in (3, 4)) and shape[-1] in (1, 3, 4)
+
+
 class ImageFolderDataset:
     """All images under root (png/jpg/tif) and/or tile stacks (*.npy)."""
 
@@ -31,7 +45,8 @@ class ImageFolderDataset:
         self._rng = np.random.default_rng(seed)
         self.files = sorted(
             f for f in glob.glob(os.path.join(root, "**", "*"), recursive=True)
-            if f.lower().endswith(self.EXTS + (".npy",)))
+            if f.lower().endswith(self.EXTS + (".npy",))
+            and _is_image_array(f))
         if max_items:
             self.files = self.files[:max_items]
         if not self.files:

@@ -356,3 +356,29 @@ def test_multi_resolution_store_expands_tile_stacks(tmp_path):
     store.NewResolution(8, 7)
     batch = next(iter(store.batches(shuffle=False)))
     assert batch.shape == (7, 8, 8, 3)
+
+
+def test_gan_dataset_skips_non_image_npy(tmp_path):
+    """A RoiBuilder cache dir holds coor_*.npy [T, 2] coordinate arrays
+    next to the data_*.npy tile stacks; globbing such a dir must ingest
+    only the image-shaped arrays (regression: the store builder crashed
+    resizing a coordinate array)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.gan_dataset import (
+        ImageFolderDataset,
+        MultiResolutionStore,
+    )
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(d / "data_s1_rois_size32_hsvcut_v3.npy",
+            rng.integers(0, 255, (5, 32, 32, 3)).astype(np.uint8))
+    np.save(d / "coor_s1_rois_size32_hsvcut_v3.npy",
+            np.zeros((5, 2), np.int64))
+
+    ds = ImageFolderDataset(str(d), seed=0)
+    assert len(ds.files) == 1 and "data_" in ds.files[0]
+
+    store = MultiResolutionStore.build(str(d), str(tmp_path / "store"),
+                                       resolutions=(4, 8), seed=0)
+    assert len(store) == 5  # 5 tiles, no coordinate rows
