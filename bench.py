@@ -140,30 +140,14 @@ def _staged_u8(base, i):
 
 
 def _device_calibration_tflops(chains: int = 16) -> float:
-    """Achievable bf16 matmul TFLOP/s right now (chained 4096^3 matmuls).
-    The tunnel device throttles erratically BETWEEN runs; recording the
-    calibration alongside the headline lets consumers normalize
-    throughput across rounds (PROFILE.md 'device calibration')."""
-    n = 4096
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)
+    """Achievable bf16 matmul TFLOP/s right now. The tunnel device
+    throttles erratically BETWEEN runs; recording the calibration
+    alongside the headline lets consumers normalize throughput across
+    rounds (PROFILE.md 'device calibration'). One canonical probe shared
+    with `tools/profile_stages.py --device-calibration`."""
+    from tools.profile_stages import calibration_tflops
 
-    @jax.jit
-    def chain(x):
-        y = x.astype(jnp.bfloat16)
-        for _ in range(chains):
-            y = jnp.dot(y, y)
-            y = y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
-        return jnp.sum(y.astype(jnp.float32))
-
-    float(chain(x))  # compile + warmup
-    best = np.inf
-    for i in range(2):
-        xv = jax.jit(lambda b, i: b * (1.0 + 1e-3 * i))(x, jnp.float32(i + 1))
-        float(jnp.sum(xv))
-        t0 = time.perf_counter()
-        float(chain(xv))
-        best = min(best, time.perf_counter() - t0)
-    return chains * 2 * n**3 / best / 1e12
+    return calibration_tflops(chains)
 
 
 def bench_resnet_forward(quick: bool, repeats: int = 3):
@@ -208,14 +192,18 @@ def bench_resnet_forward(quick: bool, repeats: int = 3):
     extra = {"mode": mode, "batch_per_dispatch": K * B}
     if mfu is not None:
         extra["mfu"] = mfu
-        try:
-            calib = _device_calibration_tflops()
-            extra["device_matmul_tflops"] = round(calib, 1)
-            # throttle-normalized throughput: tiles/s per achievable TFLOP/s
-            extra["tiles_per_sec_per_calib_tflops"] = round(
-                tiles_per_sec / calib, 1)
-        except Exception:
-            pass
+        if mode == "full":
+            # seconds of fixed matmul work — skip in --quick, whose point
+            # is a fast smoke signal (quick numbers aren't comparable
+            # across rounds anyway, see the emitted note)
+            try:
+                calib = _device_calibration_tflops()
+                extra["device_matmul_tflops"] = round(calib, 1)
+                # throttle-normalized: tiles/s per achievable TFLOP/s
+                extra["tiles_per_sec_per_calib_tflops"] = round(
+                    tiles_per_sec / calib, 1)
+            except Exception:
+                pass
     _emit("resnet26_forward_tiles_per_sec_per_chip", tiles_per_sec,
           f"tiles/sec ({TILE_RES}x{TILE_RES}, uint8 in, bf16, {platform})",
           vs, **extra)

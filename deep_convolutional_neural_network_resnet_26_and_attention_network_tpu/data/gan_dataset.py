@@ -25,7 +25,7 @@ def _is_image_array(path: str) -> bool:
     caches live next to their ``coor_*.npy`` coordinate arrays ([T, 2]) —
     globbing a tile-cache dir must not ingest those as images. Shape comes
     from the npy header via mmap (no data read)."""
-    if not path.endswith(".npy"):
+    if not path.lower().endswith(".npy"):
         return True
     try:
         shape = np.load(path, mmap_mode="r").shape
@@ -59,7 +59,7 @@ class ImageFolderDataset:
         self.batch_size = int(batch_size)
 
     def _load(self, path: str) -> np.ndarray:
-        if path.endswith(".npy"):
+        if path.lower().endswith(".npy"):
             arr = np.load(path, mmap_mode="r")
             if arr.ndim == 4:  # tile stack: random tile
                 arr = arr[int(self._rng.integers(0, arr.shape[0]))]
@@ -158,7 +158,7 @@ class MultiResolutionStore:
             2000-tile stack to one frozen tile)."""
             count = 0
             for path in src.files:
-                if path.endswith(".npy"):
+                if path.lower().endswith(".npy"):
                     arr = np.load(path, mmap_mode="r")
                     stack = arr if arr.ndim == 4 else arr[None]
                     for i in range(stack.shape[0]):
@@ -177,7 +177,7 @@ class MultiResolutionStore:
         # every image twice
         n = 0
         for path in src.files:
-            if path.endswith(".npy"):
+            if path.lower().endswith(".npy"):
                 arr = np.load(path, mmap_mode="r")
                 n += int(arr.shape[0]) if arr.ndim == 4 else 1
             else:

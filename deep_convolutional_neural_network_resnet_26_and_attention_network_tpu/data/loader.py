@@ -85,6 +85,9 @@ class BagPrefetcher:
         # host decode/augment/H2D time per bag on the producer thread(s)
         self.stats = {"bags": 0, "wait_s": 0.0, "produce_s": 0.0,
                       "consume_s": 0.0}
+        # produce_s is incremented from N pool threads; += on a dict float
+        # is a non-atomic read-modify-write, so guard it
+        self._stats_lock = threading.Lock()
 
     def __len__(self):
         return len(self.dataset)
@@ -103,7 +106,9 @@ class BagPrefetcher:
         tiles, mask = pad_bag(jnp.asarray(tiles), buckets=self.buckets,
                               multiple_of=self.multiple_of)
         label = int(np.asarray(label).reshape(-1)[0])
-        self.stats["produce_s"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        with self._stats_lock:
+            self.stats["produce_s"] += dt
         return (tiles, mask, label, *item[2:])
 
     def __iter__(self):

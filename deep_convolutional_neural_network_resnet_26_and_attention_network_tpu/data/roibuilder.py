@@ -186,21 +186,45 @@ class RoiBuilder:
     eval_cache_enabled = True
 
     def _eval_cache_path(self) -> str:
-        return "{0}/eval_{1}_rois_size{2}_res{3}_v1.npy".format(
-            self.params["root_cache_dir"], self.params["basename"],
-            self.params["roi_size"], self._resolution)
+        # derived from the RAW cache's filename so the tissue-filter
+        # version tag (hsvcut_v3) invalidates this cache along with it
+        raw = os.path.splitext(
+            os.path.basename(self.params["data_cache"]))[0]
+        return "{0}/eval_{1}_res{2}_v1.npy".format(
+            self.params["root_cache_dir"], raw[len("data_"):],
+            self._resolution)
 
     def _eval_tiles(self, data):
-        """Transformed eval bag for the raw stack, via the f32 cache."""
+        """Transformed eval bag for the raw stack, via the f32 cache.
+
+        Staleness guards: the cache is ignored (and rewritten) when it is
+        older than the raw tile cache or its tile count differs — deleting
+        / rebuilding data_*.npy therefore invalidates it transparently.
+        The write is tmp-file + os.replace so an interrupted save can
+        never leave a truncated cache behind."""
         use_cache = (self.eval_cache_enabled
                      and self.params["roi_size"] > self._resolution)
         path = self._eval_cache_path() if use_cache else None
         if path and os.path.isfile(path):
-            return jnp.asarray(np.load(path))
+            try:
+                fresh = (os.path.getmtime(path)
+                         >= os.path.getmtime(self.params["data_cache"]))
+                cached = np.load(path, mmap_mode="r") if fresh else None
+                if cached is not None and cached.shape[0] == len(data):
+                    return jnp.asarray(np.array(cached))
+            except (OSError, ValueError):
+                pass  # unreadable/corrupt cache: fall through and rewrite
         out = transforms.apply_chunked(
             transforms.eval_transform, data, resolution=self._resolution)
         if path:
-            np.save(path, np.asarray(out))
+            # ends in .npy so np.save writes exactly this name
+            tmp = "{0}.{1}.tmp.npy".format(path, os.getpid())
+            try:
+                np.save(tmp, np.asarray(out))
+                os.replace(tmp, path)
+            except OSError:
+                if os.path.isfile(tmp):
+                    os.unlink(tmp)
         return out
 
     def get_validation_data(self):

@@ -110,11 +110,17 @@ def main():
     )
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (  # noqa: E501
         checkpoint,
+        classify,
     )
 
-    cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+    # the SAME tiny config the classify CLI trained with (no duplicated
+    # widths/blocks constants — restore_params is strict=False, so a
+    # drifted copy would silently leave random weights)
+    cfg = classify.make_config(classify.build_argparser().parse_args(
+        ["--arch", "tiny"]))
     params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
-    params, _, _ = checkpoint.restore_params(params, demo_ckpt)
+    params, loaded, skipped = checkpoint.restore_params(params, demo_ckpt)
+    assert not skipped, f"checkpoint/arch mismatch: {skipped[:3]}..."
     stack = next(f for f in sorted(os.listdir(cache))
                  if f.startswith("data_"))
     tile_u8 = np.load(os.path.join(cache, stack))[0]

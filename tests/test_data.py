@@ -493,3 +493,40 @@ def test_prefetcher_multiworker_delivers_all_bags():
 
     with pytest.raises(ValueError, match="shuffle"):
         BagPrefetcher(DS(), shuffle=False, workers=2)
+
+
+def test_eval_tile_cache_invalidates_on_rebuild(tmp_path, monkeypatch):
+    """Rebuilding the raw tile cache (different tile count / newer mtime)
+    must transparently invalidate the derived eval cache — stale cached
+    tiles paired with fresh coords would mis-place heatmap attention."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+        slide_io,
+    )
+
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(1)
+    base = np.array([140, 60, 170], np.int16)
+    img = np.clip(base + rng.integers(-40, 40, (256, 256, 3)), 0,
+                  255).astype(np.uint8)
+    path = slide_io.write_synthetic_slide(str(tmp_path / "s2.npy"), img)
+    b = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    b.build()
+    b.update_resolution_and_buffer(16)
+    first = np.asarray(b.get_validation_data())
+    assert os.path.isfile(b._eval_cache_path())
+
+    # simulate a re-tile that changed the tile count: shrink the raw cache
+    raw = np.load(b.params["data_cache"])
+    assert raw.shape[0] > 1
+    np.save(b.params["data_cache"], raw[:-1])
+    np.save(b.params["coor_cache"],
+            np.load(b.params["coor_cache"])[:-1])
+    os.utime(b.params["data_cache"])  # newer than the eval cache
+
+    second = np.asarray(b.get_validation_data())
+    assert second.shape[0] == first.shape[0] - 1  # fresh, not stale
+
+    # the filter-version tag from the raw cache name is part of the eval
+    # cache name, so a hsvcut bump cannot serve old-era tiles
+    assert "hsvcut_v3" in os.path.basename(b._eval_cache_path())

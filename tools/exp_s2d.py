@@ -46,37 +46,14 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.ops i
 )
 
 
-def s2d_weights(w7: jnp.ndarray) -> np.ndarray:
-    """Rearrange [7,7,3,co] stem weights to the equivalent [4,4,12,co]
-    kernel over space-to-depth input y[b,i,j,(dy*2+dx)*3+c] =
-    x[b,2i+dy,2j+dx,c], applied as conv stride 1, padding (2,1).
-
-    Derivation: out(i) = sum_u W7[u] x[2i+u-3]; write u-3 = 2m+dy with
-    dy = (u-3) % 2, m = (u-3-dy)//2; the tap lands at s2d row i+m, parity
-    dy, i.e. conv4 tap a = m+2 in [0,4) with left pad 2 / right pad 1.
-    """
-    w7 = np.asarray(w7)
-    co = w7.shape[-1]
-    w4 = np.zeros((4, 4, 12, co), w7.dtype)
-    for u in range(7):
-        ky = u - 3
-        dy = ky % 2
-        a = (ky - dy) // 2 + 2
-        for v in range(7):
-            kx = v - 3
-            dx = kx % 2
-            b = (kx - dx) // 2 + 2
-            for c in range(3):
-                w4[a, b, (dy * 2 + dx) * 3 + c, :] = w7[u, v, c, :]
-    return w4
+# the SHIPPED implementations (models/resnet.py) are the single source of
+# truth for the rearrange math — the experiment must measure exactly what
+# MILConfig(stem="s2d") runs
+def s2d_weights(w7) -> np.ndarray:
+    return np.asarray(resnet.stem_s2d_kernel(jnp.asarray(w7)))
 
 
-def s2d_u8(x):
-    """[B,2H,2W,3] -> [B,H,W,12] with channel index (dy*2+dx)*3+c."""
-    B, H2, W2, C = x.shape
-    y = x.reshape(B, H2 // 2, 2, W2 // 2, 2, C)
-    y = y.transpose(0, 1, 3, 2, 4, 5)  # B,H,W,dy,dx,c
-    return y.reshape(B, H2 // 2, W2 // 2, 4 * C)
+s2d_u8 = resnet.space_to_depth2
 
 
 def timed(fn, make_input, iters):

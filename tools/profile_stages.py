@@ -109,24 +109,43 @@ def build_segments(params, compute_dtype=jnp.bfloat16):
             ("stage4", make_stage(3)), ("pool_fc", pool_fc)]
 
 
+def calibration_tflops(chains: int = 16, repeats: int = 2) -> float:
+    """Achievable bf16 matmul TFLOP/s right now: chained 4096^3 matmuls,
+    fresh never-executed inputs per timed call, timed region ended with a
+    host fetch. The ONE canonical probe — bench.py's headline
+    `device_matmul_tflops` and the --device-calibration CLI both use it,
+    so cross-round normalization compares like with like."""
+    n = 4096
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        y = x.astype(jnp.bfloat16)
+        for _ in range(chains):
+            y = jnp.dot(y, y)
+            y = y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(chain(x))  # compile + warmup
+    best = np.inf
+    for i in range(repeats):
+        xv = jax.jit(lambda b, i: b * (1.0 + 1e-3 * i))(x, jnp.float32(i + 1))
+        float(jnp.sum(xv))
+        t0 = time.perf_counter()
+        float(chain(xv))
+        best = min(best, time.perf_counter() - t0)
+    return chains * 2 * n**3 / best / 1e12
+
+
 def device_calibration(iters=8):
     """Achievable bf16 matmul TFLOP/s on this device right now (the tunnel
     device throttles erratically; compare model TFLOP/s against THIS, not
-    the v5e datasheet)."""
-    n = 4096
-    base = jnp.asarray(np.random.rand(n, n).astype(np.float32))
-
-    def chain(x):
-        y = x.astype(jnp.bfloat16)
-        for _ in range(4):
-            y = jnp.dot(y, y)
-            y = y / jnp.max(jnp.abs(y))
-        return jnp.sum(y)
-
-    sec = time_fn(lambda x: chain(x), base, iters)
-    fl = 4 * 2 * n**3
-    print(json.dumps({"matmul_tflops": round(fl / sec / 1e12, 2),
-                      "sec_per_chain": round(sec, 4)}))
+    the v5e datasheet). Two chain depths so the fixed per-dispatch cost
+    can be cancelled out (marginal rate, PROFILE.md)."""
+    for chains in (16, 32):
+        tf = calibration_tflops(chains, repeats=max(iters // 4, 2))
+        print(json.dumps({"chains": chains,
+                          "matmul_tflops": round(tf, 2)}))
 
 
 def profile_train(tiles_per_bag=512, res=300, iters=3):
