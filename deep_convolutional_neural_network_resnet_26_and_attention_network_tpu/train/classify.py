@@ -375,6 +375,14 @@ class Driver:
                     kld=float(fetched["KLD"].sum()))
         n = max(n, 1)
         plots.plot_prediction_summary(epoch, self.heat_dir, predvals, labels)
+        # <epoch>predictions.json — plot_roc's input artifact (reference:
+        # gbm/plot_roc.py:12-38 runs roc_curve on scalar predictions, i.e.
+        # binary semantics): score = P(class A), label = 1 iff A
+        if predvals:
+            plots.save_predictions(
+                self.output_dir, epoch,
+                [float(np.asarray(p).ravel()[0]) for p in predvals],
+                [1.0 if int(l) == 0 else 0.0 for l in labels])
         epoch_stats["valid_acc"] = classification_report(
             labels, predictions, labels=[0, 1, 2], target_names=TARGET_NAMES,
             output_dict=True, zero_division=0)

@@ -288,6 +288,17 @@ def test_classify_cli_end_to_end(synthetic_tree, tmp_path, monkeypatch):
     heat = run / "heatmaps"
     assert any(f.endswith("-heatmap.pdf") for f in os.listdir(heat))
 
+    # validation also emits plot_roc's input artifact, and plot_roc runs
+    # over the run dir (reference: gbm/plot_roc.py:12-38)
+    preds = [f for f in os.listdir(run) if f.endswith("predictions.json")]
+    assert preds
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.utils import (
+        plots,
+    )
+
+    roc_paths, aucs = plots.plot_roc(str(run), "SMOKE")
+    assert len(roc_paths) == 2 and len(aucs) == len(preds)
+
     # --test_only resumes from the checkpoint and exits after validation
     rc = classify.main([
         "--tag", "SMOKE2", "--arch", "tiny", "--resolution", "16",
