@@ -224,6 +224,14 @@ class GHPSingleBagDatasetSimple:
     def train(self):
         self.mode = "train"
 
+    def reseed_augment(self, *entropy: int):
+        """Pin every train builder's augmentation streams to
+        (entropy..., builder_index) — with the driver passing
+        (seed, epoch), a resumed run replays the exact augmentation of
+        the uninterrupted run (bit-exact elastic resume)."""
+        for i, b in enumerate(self.train_slide_builders):
+            b.reseed_augment(*entropy, i)
+
     def build(self):
         self.mode = "build"
 

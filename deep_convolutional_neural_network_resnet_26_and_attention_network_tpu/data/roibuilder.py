@@ -77,6 +77,17 @@ class RoiBuilder:
             print(f"RoiBuilder[{self.params['basename']}] "
                   f"status={self.params['status']} ntiles={self.params['ntiles']}")
 
+    def reseed_augment(self, *entropy: int):
+        """Pin BOTH training rng streams (tile-cap subsample + crop/flip
+        augmentation) to the given entropy. The live driver calls this per
+        (seed, epoch, builder) so a run resumed from a checkpoint replays
+        the exact augmentation stream of the uninterrupted run —
+        bit-exact elastic resume."""
+        ss = np.random.SeedSequence(list(entropy))
+        self._rng = np.random.default_rng(ss)
+        self._train_rng = jax.random.PRNGKey(
+            int(ss.generate_state(1)[0] & 0x7FFFFFFF))
+
     # ------------------------------------------------------------------
     # Generic accessors (reference: RoiBuilder.py:89-102)
     def getsize(self) -> int:

@@ -114,7 +114,6 @@ class Driver:
         self.heat_dir = os.path.join(output_dir, "heatmaps")
         os.makedirs(self.heat_dir, exist_ok=True)
         self.compute_dtype = None if args.f32 else jnp.bfloat16
-        self.rng = jax.random.PRNGKey(args.seed)
 
         params = amil.init_attention_mil(jax.random.PRNGKey(args.seed), cfg)
         self.tx = steps.make_optimizer()
@@ -143,9 +142,20 @@ class Driver:
             self.state = steps.replicate_state(self.mesh, self.state)
             print(f"Mesh training over {dict(self.mesh.shape)}")
 
-    def next_rng(self):
-        self.rng, sub = jax.random.split(self.rng)
-        return sub
+    def epoch_key(self, epoch: int, *, validate: bool = False):
+        """Epoch-derived rng root: every stochastic stream of epoch E is a
+        pure function of (seed, E), so a run resumed from the epoch E-1
+        checkpoint replays epoch E bit-exactly (the un-resumed run's
+        streams do not depend on how many epochs preceded them).
+        Validation gets a disjoint domain so its train-mode stochasticity
+        (pre-Check stages) never perturbs training streams."""
+        base = 1_000_000 + epoch if validate else epoch
+        return jax.random.fold_in(jax.random.PRNGKey(self.args.seed), base)
+
+    def loader_seed(self, epoch: int) -> int:
+        """Deterministic bag-order seed for epoch E (same property)."""
+        return int(np.random.SeedSequence(
+            [self.args.seed, epoch, 7]).generate_state(1)[0] & 0x7FFFFFFF)
 
     # ------------------------------------------------------------ train
     def train_epoch(self, epoch: int, dataset, epoch_stats: dict):
@@ -165,13 +175,17 @@ class Driver:
         epoch_stats["coef_a3"] = float(coefs[2])
 
         dataset.train()
+        if hasattr(dataset, "reseed_augment"):
+            dataset.reseed_augment(self.args.seed, epoch)
         loader = sample_data(dataset, image_size=self.args.resolution,
-                             shuffle=True,
+                             shuffle=True, seed=self.loader_seed(epoch),
                              multiple_of=getattr(self, "tiles_multiple", 1),
                              workers=getattr(self.args, "workers", 1))
+        ekey = self.epoch_key(epoch)
 
         if self.mesh is not None:
-            return self._train_epoch_mesh(epoch, stage, loader, epoch_stats)
+            return self._train_epoch_mesh(epoch, stage, loader, epoch_stats,
+                                          ekey)
 
         # device-side metric accumulation: scalars stay on device during
         # the epoch and fetch once at the end (each host fetch is a tunnel
@@ -190,7 +204,8 @@ class Driver:
             with (timer.step() if timer is not None
                   else contextlib.nullcontext()):
                 outs, grads = self.grad_fn(self.state.params, tiles, mask,
-                                           jnp.int32(label), self.next_rng())
+                                           jnp.int32(label),
+                                           jax.random.fold_in(ekey, n))
                 grad_acc = self.accumulate(grad_acc, grads)
                 batch_count += 1
                 if batch_count >= self.args.accum:
@@ -246,7 +261,7 @@ class Driver:
               f"{n} slides in {dt:.1f}s")
         return True
 
-    def _train_epoch_mesh(self, epoch, stage, loader, epoch_stats):
+    def _train_epoch_mesh(self, epoch, stage, loader, epoch_stats, ekey):
         """Mesh path: each accumulation window of bags runs as ONE sharded
         batched step — grad(sum of window losses) + one Adam update is
         exactly the sequential accumulate-then-step semantics."""
@@ -263,9 +278,10 @@ class Driver:
         t0 = time.time()
 
         last_real = self.args.accum  # size of the most recent window
+        n_windows = 0
 
         def run_window(bags):
-            nonlocal n, last_real
+            nonlocal n, last_real, n_windows
             real = last_real = len(bags)
             # pad a partial tail window to the compiled batch size with
             # zero-weight copies: they contribute neither gradients nor
@@ -284,7 +300,9 @@ class Driver:
             with self.mesh:
                 self.state, metrics = self.batched_step(
                     self.state, s_tiles, s_masks, s_labels,
-                    jnp.float32(stage.lr), self.next_rng(), weights)
+                    jnp.float32(stage.lr),
+                    jax.random.fold_in(ekey, n_windows), weights)
+            n_windows += 1
             for k in dev_metrics:
                 # metrics are window means; store window SUMS for the /n
                 dev_metrics[k].append(metrics[k] * real)
@@ -350,13 +368,15 @@ class Driver:
                                "y_pred_hat")}
         predvals_dev, labels = [], []
         n = 0
+        vkey = self.epoch_key(epoch, validate=True)
         for tiles, mask, label in loader:
             # pre-Check stages validate with train-mode stochasticity,
             # exactly like the reference (SetStage(test=True) only switches
             # to eval at epoch >= 150; reference: gbm/classify_combined.py:123-134)
             if stage.train_mode:
                 outs = self.fwd_train(self.state.params, tiles, mask,
-                                      jnp.int32(label), self.next_rng())
+                                      jnp.int32(label),
+                                      jax.random.fold_in(vkey, n))
             else:
                 outs = self.fwd_eval(self.state.params, tiles, mask,
                                      jnp.int32(label))

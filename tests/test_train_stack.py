@@ -465,3 +465,43 @@ def test_train_step_bag_weights_zero_out_dummy_bags():
     ra = jax.tree_util.tree_leaves(s_ref.params)
     rb = jax.tree_util.tree_leaves(s_pad.params)
     assert all(np.allclose(a, b, atol=1e-6) for a, b in zip(ra, rb))
+
+
+def test_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
+    """Elastic recovery guarantee: every stochastic stream of epoch E
+    (bag order, crop/flip augmentation, tile subsample, dropout) is a pure
+    function of (seed, E), so training epochs 0-1 straight and training
+    epoch 0, stopping, and resuming epoch 1 from the checkpoint produce
+    BIT-IDENTICAL parameters. The reference could only 'manually rerun
+    with --ckpt' with a diverged stream (SURVEY §5)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+        checkpoint,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    common = [
+        "--arch", "tiny", "--resolution", "16", "--accum", "2",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32", "--seed", "5",
+    ]
+    # run A: two epochs, uninterrupted
+    assert classify.main(["--tag", "A", "--epoch_start", "0",
+                          "--epoch_end", "1"] + common) == 0
+    # run B: epoch 0, "crash", resume epoch 1 from the checkpoint
+    assert classify.main(["--tag", "B", "--epoch_start", "0",
+                          "--epoch_end", "0"] + common) == 0
+    ckpt_b0 = out_root / "run_B" / "train_step-000.model"
+    assert classify.main(["--tag", "B", "--epoch_start", "1",
+                          "--epoch_end", "1", "--ckpt", str(ckpt_b0)]
+                         + common) == 0
+
+    a = checkpoint.load_raw(str(out_root / "run_A" / "train_step-001.model"))
+    b = checkpoint.load_raw(str(out_root / "run_B" / "train_step-001.model"))
+    a_params = {k: v for k, v in a.items() if k.startswith("classifier/")}
+    assert a_params
+    for k, va in a_params.items():
+        np.testing.assert_array_equal(va, b[k], err_msg=k)
