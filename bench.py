@@ -131,11 +131,16 @@ def _staged_inputs(base, n):
     return xs
 
 
+# fused u8 checksum: eager .astype(f32) materializes a 4x temp (8 GB at
+# batch 8192, an OOM); inside jit the convert fuses into the reduce
+_u8_checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
+
+
 def _staged_u8(base, i):
     """One fresh uint8 variant (XOR keeps the distribution), materialized."""
     make = jax.jit(lambda b, v: b ^ v)
     x = make(base, jnp.uint8(i % 254 + 1))
-    float(jnp.sum(x.astype(jnp.float32)))
+    float(_u8_checksum(x))
     return x
 
 
@@ -158,24 +163,47 @@ def bench_resnet_forward(quick: bool, repeats: int = 3):
     elif quick:
         K, B, tbatch, titers, repeats = 2, 512, 4, 2, 2
     else:
-        K, B, tbatch, titers = 8, 1024, 8, 3
+        # one plain 8192-tile batch: at fixed dispatch size, fewer+larger
+        # microbatches win monotonically (interleaved sweep,
+        # tools/exp_megabatch.py: 8x1024 -> 1x8192 is +~12%; PROFILE.md
+        # "megabatch geometry"). B=8192 is near the activation-memory
+        # ceiling (stem output alone is 7.4G bf16).
+        K, B, tbatch, titers = 1, 8192, 8, 3
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
 
     @jax.jit
-    def fwd(p, x):  # x: (K, B, res, res, 3) uint8 -> (K, B, embed)
+    def fwd(p, x):  # x: (K, B, res, res, 3) or (B, res, res, 3) uint8
         def step(_, xb):
             xf = xb.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
             return None, resnet.apply_resnet26(p, xf,
                                                compute_dtype=jnp.bfloat16)
+        if x.ndim == 4:  # single plain batch, no scan machinery
+            return step(None, x)[1]
         return lax.scan(step, None, x)[1]
 
-    base = jax.random.randint(jax.random.PRNGKey(1),
-                              (K, B, TILE_RES, TILE_RES, 3), 0, 256,
-                              jnp.uint8)
-    float(jnp.sum(fwd(params, base).astype(jnp.float32)))  # compile + warmup
+    # K == 1 drops the leading dim entirely: XLA tile-pads a 1-sized
+    # leading dim 4x on u8 arrays (T(4,128) layout), which alone OOMs at
+    # batch 8192
+    shape = ((B, TILE_RES, TILE_RES, 3) if K == 1
+             else (K, B, TILE_RES, TILE_RES, 3))
+    gen = jax.jit(lambda k: jax.random.randint(k, shape, 0, 256, jnp.uint8))
+
+    def fresh_input(rep):
+        # fresh never-executed input per timed call (the axon runtime
+        # caches results for identical (executable, inputs) pairs). A
+        # persistent base + XOR copy would hold 2 resident copies — at
+        # batch 8192 that OOMs next to the forward's working set, so each
+        # rep regenerates instead (u32 bits are transient).
+        x = gen(jax.random.fold_in(jax.random.PRNGKey(1), rep))
+        float(_u8_checksum(x))  # materialize before the timed region
+        return x
+
+    warm = fresh_input(10_000)
+    float(jnp.sum(fwd(params, warm).astype(jnp.float32)))  # compile + warmup
+    del warm
     rates = []
     for rep in range(repeats):
-        x = _staged_u8(base, rep)  # fresh never-executed input (result cache!)
+        x = fresh_input(rep)
         t0 = time.perf_counter()
         out = fwd(params, x)
         float(jnp.sum(out.astype(jnp.float32)))  # force materialization

@@ -22,16 +22,21 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.model
     resnet,
 )
 
-# 8192 tiles/dispatch at three microbatch sizes isolates the microbatch
-# dimension at constant dispatch size + footprint; (4,1024)/(16,1024)
-# probe the dispatch-size dimension
-CONFIGS = [(4, 1024), (8, 1024), (16, 1024), (4, 2048), (16, 512)]
+# pairwise A/B (pass --configs "8x1024,4x2048"): more than ~2 resident
+# 2.2G geometries trip HBM padding-expansion OOMs on the 16G chip
+CONFIGS = [(8, 1024), (4, 2048)]
 
 
 def main():
+    global CONFIGS
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--configs", type=str, default=None,
+                    help='e.g. "8x1024,16x512"')
     args = ap.parse_args()
+    if args.configs:
+        CONFIGS = [tuple(int(v) for v in c.split("x"))
+                   for c in args.configs.split(",")]
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
 
     @jax.jit
@@ -43,15 +48,11 @@ def main():
         return lax.scan(step, None, x)[1]
 
     def make(K, B, seed):
-        # one input resident at a time, generated per-microbatch: randint
-        # materializes u32 bits (4x the u8 size), so a whole-array
-        # generate OOMs at the larger geometries
-        gen = jax.jit(lambda k: jax.random.randint(
-            k, (B, 300, 300, 3), 0, 256, jnp.uint8))
-        key = jax.random.PRNGKey(seed)
-        chunks = [gen(jax.random.fold_in(key, i)) for i in range(K)]
-        x = jnp.stack(chunks)
-        del chunks
+        # one input resident at a time; randint's u32 bit intermediate is
+        # 4x the u8 output, so keep K*B <= ~8192 tiles per config
+        x = jax.jit(lambda k: jax.random.randint(
+            k, (K, B, 300, 300, 3), 0, 256, jnp.uint8))(
+                jax.random.PRNGKey(seed))
         float(jnp.sum(x.astype(jnp.float32)))
         return x
 
