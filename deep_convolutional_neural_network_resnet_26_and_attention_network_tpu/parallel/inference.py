@@ -85,7 +85,7 @@ def classify_slide(params, cfg: amil.MILConfig, builder, *,
 
 def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
                              resolution: int = 300, chunk: int = 1024,
-                             compute_dtype=jnp.bfloat16):
+                             compute_dtype=jnp.bfloat16, mesh=None):
     """Unbounded-slide inference: stream tile chunks through the extractor,
     then pool once over the tiny [T, L] feature matrix.
 
@@ -95,7 +95,13 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     chip. Exact, not approximate: MIL pooling is linear over tiles, and the
     per-bag batch-norm uses global feature statistics computed after the
     streaming pass (SURVEY.md §5's 'bag-dimension sharding' argument, in
-    time instead of space). Returns (probs, outputs dict, coords)."""
+    time instead of space). Returns (probs, outputs dict, coords).
+
+    With ``mesh``, both scaling axes compose: chunks stream in TIME while
+    each chunk's tile axis shards over every device in SPACE
+    (``tile_stream_sharding``) — the extractor is per-tile, so GSPMD
+    splits it with zero collectives and the 50k-tile ceiling multiplies by
+    the mesh size."""
     if builder.params.get("resolution") != resolution:
         builder.update_resolution_and_buffer(resolution)
     raw, coords = builder._load_cache(with_coords=True)
@@ -111,15 +117,31 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
         from ..data.loader import bucket_for
         chunk = min(chunk, bucket_for(max(raw.shape[0], 1)))
 
+    cnn = params["cnn"]
+    part_sharding = None
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        # chunk divisible over all devices; padded tiles are trimmed after
+        chunk = max(n_dev, (chunk // n_dev) * n_dev)
+        part_sharding = M.tile_stream_sharding(mesh)
+        rep = M.replicated(mesh)
+        cnn = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), cnn)
+
     feats = []
     for start in range(0, raw.shape[0], chunk):
         part = raw[start:start + chunk]
         valid = part.shape[0]
         if valid < chunk:
             part = np.pad(part, [(0, chunk - valid)] + [(0, 0)] * 3)
+        part = jnp.asarray(part)
+        if part_sharding is not None:
+            part = jax.device_put(part, part_sharding)
         # uint8 H2D (4x less transfer) + transform + extract in one program
-        feats.append(extract(params["cnn"], jnp.asarray(part))[:valid])
+        feats.append(extract(cnn, part)[:valid])
     H = jnp.concatenate(feats, axis=0)
+    if mesh is not None:  # pool on the default device
+        H = jax.device_get(H)
+        H = jnp.asarray(H)
 
     pool = _cached_pool(cfg)
     pooled = pool(params, H)

@@ -67,3 +67,10 @@ def label_sharding(mesh: Mesh) -> NamedSharding:
 def replicated(mesh: Mesh) -> NamedSharding:
     """Parameters/optimizer state are replicated (model is ~1-2M params)."""
     return NamedSharding(mesh, P())
+
+
+def tile_stream_sharding(mesh: Mesh) -> NamedSharding:
+    """[T, H, W, C] single-slide tile chunks: the tile axis spreads over
+    EVERY device (both mesh axes) — used by the streaming slide pipeline,
+    where one slide at a time owns the whole mesh."""
+    return NamedSharding(mesh, P((SLIDES_AXIS, TILES_AXIS)))

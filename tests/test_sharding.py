@@ -102,3 +102,38 @@ def test_explicit_shard_map_pool_matches_unsharded():
                                np.asarray(ref["Mterm"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["Aterm"]),
                                np.asarray(ref["Aterm"]), atol=1e-5)
+
+
+def test_streaming_inference_sharded_matches_single(tmp_path, monkeypatch):
+    """Streaming + mesh: chunks stream in time while each chunk's tile
+    axis shards over all 8 devices — probabilities must match the
+    unsharded streaming pass exactly (per-tile extractor, no collectives)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+        slide_io,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        inference,
+        mesh as M,
+    )
+
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(9)
+    base = np.array([140, 60, 170], np.int16)
+    img = np.clip(base + rng.integers(-40, 40, (400, 400, 3)), 0,
+                  255).astype(np.uint8)
+    path = slide_io.write_synthetic_slide(str(tmp_path / "s.npy"), img)
+    builder = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    builder.build()
+    cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+
+    p_single, _, coords = inference.classify_slide_streaming(
+        params, cfg, builder, resolution=32, chunk=16, compute_dtype=None)
+    mesh = M.make_mesh(8)
+    p_mesh, outs, coords_m = inference.classify_slide_streaming(
+        params, cfg, builder, resolution=32, chunk=16, compute_dtype=None,
+        mesh=mesh)
+    np.testing.assert_array_equal(coords, coords_m)
+    np.testing.assert_allclose(p_mesh, p_single, atol=1e-6)
+    assert outs["Fterm"].shape[0] == builder.getsize()
