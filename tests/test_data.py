@@ -530,3 +530,40 @@ def test_eval_tile_cache_invalidates_on_rebuild(tmp_path, monkeypatch):
     # the filter-version tag from the raw cache name is part of the eval
     # cache name, so a hsvcut bump cannot serve old-era tiles
     assert "hsvcut_v3" in os.path.basename(b._eval_cache_path())
+
+
+def test_outcome_grade_mrn_lookups(tmp_path):
+    """getOutcome (ids col 0, headers row 4), getGrade (ids col 1, headers
+    row 1), getMRN (ids col 1, value col 0) with the reference's sentinel
+    codes: -9 missing/empty, -99 bad dtype (DataAccessors.py:13-117)."""
+    import csv as _csv
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        accessors,
+    )
+
+    rows = [
+        ["", "Grade", "Other"],          # row 0: grade headers
+        ["", "", ""],                     # row 1 (cluster headers elsewhere)
+        ["", "", ""],
+        ["", "Survival", "Status"],       # row 3: outcome headers
+        ["", "", ""],
+        ["GHP_7", "777", ""],             # outcome row: id col 0
+        ["12345", "GHP_8", "IV"],         # grade/MRN row: id col 1
+        ["", "GHP_9", "not-a-number"],
+    ]
+    sheet = tmp_path / "clinical.csv"
+    with open(sheet, "w", newline="") as f:
+        _csv.writer(f).writerows(rows)
+
+    assert accessors.getOutcome("GHP_7", "Survival", str(sheet)) == 777.0
+    assert accessors.getOutcome("GHP_7", "Status", str(sheet)) == -9.0  # empty
+    assert accessors.getOutcome("NOPE", "Survival", str(sheet)) == -9.0
+
+    assert accessors.getGrade("GHP_8", "Other", str(sheet), dtype=str) == "IV"
+    assert accessors.getGrade("GHP_9", "Other", str(sheet)) == -99.0  # dtype
+    assert accessors.getGrade("GHP_8", "Missing", str(sheet)) == -9.0
+
+    assert accessors.getMRN("GHP_8", None, str(sheet)) == 12345.0
+    assert accessors.getMRN("GHP_9", None, str(sheet)) == -9.0  # empty col 0
+    assert accessors.getMRN("NOPE", None, str(sheet)) == -9.0

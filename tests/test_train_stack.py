@@ -505,3 +505,26 @@ def test_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
     assert a_params
     for k, va in a_params.items():
         np.testing.assert_array_equal(va, b[k], err_msg=k)
+
+
+def test_tensorboard_epoch_writer(tmp_path):
+    """EpochWriter flattens nested stats dicts to scalar tags and writes a
+    tfevents file (legacy SummaryWriter parity, gbm/classify.py:21,32,326);
+    degrades to a no-op when tensorboard is unavailable."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.utils.tb import (
+        EpochWriter,
+        _flatten_scalars,
+    )
+
+    stats = {"train_loss": 1.5, "valid_acc": {"A": {"f1-score": 0.5}},
+             "skip_me": "string", "flag": True, "steps": 3}
+    flat = dict(_flatten_scalars(stats))
+    assert flat == {"train_loss": 1.5, "valid_acc/A/f1-score": 0.5,
+                    "steps": 3}
+
+    w = EpochWriter(str(tmp_path / "tb"))
+    w.log_epoch(0, stats)
+    w.close()
+    if w.active:  # tensorboard present in this image
+        files = os.listdir(tmp_path / "tb")
+        assert any("tfevents" in f for f in files)
