@@ -17,6 +17,7 @@ The model threads the mask through every tile reduction, so padded
 execution is numerically identical to the ragged original.
 """
 
+import math
 import queue
 import threading
 import time
@@ -28,14 +29,21 @@ DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 2560)
 
 
 def bucket_for(n: int, buckets=DEFAULT_BUCKETS, multiple_of: int = 1) -> int:
-    """Smallest bucket >= n (and a multiple of ``multiple_of``)."""
+    """Smallest bucket >= n (and a multiple of ``multiple_of``).
+
+    Above the top bucket, sizes round up to a coarse 1024-tile granule
+    instead of the exact count: eval bags are uncapped (reference runs all
+    tiles), and an exact-size pad would compile a fresh program per
+    oversized slide (minutes each on TPU). The padding is mask-exact; the
+    waste is bounded at 1023 tiles."""
     for b in buckets:
         if b >= n and b % multiple_of == 0:
             return b
     top = buckets[-1]
     if top % multiple_of:
         top += multiple_of - top % multiple_of
-    return max(top, ((n + multiple_of - 1) // multiple_of) * multiple_of)
+    granule = 1024 * multiple_of // math.gcd(1024, multiple_of)
+    return max(top, ((n + granule - 1) // granule) * granule)
 
 
 def pad_bag(tiles, n_tiles: int | None = None, *, buckets=DEFAULT_BUCKETS,

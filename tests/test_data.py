@@ -567,3 +567,18 @@ def test_outcome_grade_mrn_lookups(tmp_path):
     assert accessors.getMRN("GHP_8", None, str(sheet)) == 12345.0
     assert accessors.getMRN("GHP_9", None, str(sheet)) == -9.0  # empty col 0
     assert accessors.getMRN("NOPE", None, str(sheet)) == -9.0
+
+
+def test_bucket_for_oversized_bags_round_to_granule():
+    """Bags beyond the top bucket round to a coarse 1024 granule so every
+    oversized slide does not compile a fresh program (eval is uncapped)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.loader import (
+        bucket_for,
+    )
+
+    assert bucket_for(2561) == 3072
+    assert bucket_for(5000) == 5120
+    assert bucket_for(5000) == bucket_for(4100)  # same compiled shape
+    assert bucket_for(2561, multiple_of=8) % 8 == 0
+    assert bucket_for(5000, multiple_of=6) % 6 == 0
+    assert bucket_for(5000, multiple_of=6) >= 5000
