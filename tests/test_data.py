@@ -582,3 +582,33 @@ def test_bucket_for_oversized_bags_round_to_granule():
     assert bucket_for(2561, multiple_of=8) % 8 == 0
     assert bucket_for(5000, multiple_of=6) % 6 == 0
     assert bucket_for(5000, multiple_of=6) >= 5000
+
+
+def test_build_caches_cli(tmp_path, monkeypatch):
+    """The offline cache-builder CLI scans a slide dir and persists the
+    standard caches; a second run reports them as cached."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        build_caches,
+        slide_io,
+    )
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setenv("CACHE_DIR", str(cache))
+    slides = tmp_path / "imgs"
+    slides.mkdir()
+    rng = np.random.default_rng(0)
+    base = np.array([140, 60, 170], np.int16)
+    for name in ("GHP_1_A_H&E.scn", "GHP_2_B_H&E.scn"):
+        img = np.clip(base + rng.integers(-40, 40, (200, 200, 3)), 0,
+                      255).astype(np.uint8)
+        slide_io.write_synthetic_slide(str(slides / name), img)
+
+    # no tifffile in this image: the synthetic writer falls back to .npy
+    argv = ["--data_root", str(tmp_path), "--image_dir", "imgs",
+            "--roi_size", "64", "--glob", "*H&E.npy"]
+    assert build_caches.main(argv) == 0
+    built = sorted(os.listdir(cache))
+    assert sum(f.startswith("data_") for f in built) == 2
+    assert sum(f.startswith("coor_") for f in built) == 2
+    assert build_caches.main(argv) == 0  # idempotent: all cached
