@@ -16,6 +16,7 @@ jax.grad-inside-loss (XLA handles the double-backward), EMA as a tree_map.
 """
 
 import argparse
+import contextlib as _ctx
 import math
 import os
 import sys
@@ -239,6 +240,12 @@ def build_argparser():
     p.add_argument("--max_batches", default=None, type=int,
                    help="cap batches per epoch (smoke tests)")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--profile", action="store_true",
+                   help="XProf device trace of the first epoch into "
+                        "<output_dir>/profile/ + per-batch percentiles and "
+                        "imgs/sec per epoch (the reference committed a "
+                        "cProfile dump from its GPU-utilization tuning; "
+                        "this is the TPU equivalent)")
     return p
 
 
@@ -309,41 +316,69 @@ def train_gan(args):
         disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)
         t0 = time.time()
         n_batches = 0
-        # background prefetch overlaps decode + H2D with the device steps
-        # (the reference used DataLoader workers, train.py loader_kwargs)
-        for i, real in enumerate(prefetch_iter(dataset.batches())):
-            n_batches += 1
-            if args.max_batches and i >= args.max_batches:
-                break
-            b = real.shape[0]
-            alpha = (1.0 if (resolution == args.init_size and not args.ckpt)
-                     or final_progress
-                     else min(1.0, (used_sample + 1) / args.phase))
-            used_sample += b
+        profiling_this_epoch = (getattr(args, "profile", False)
+                                and epoch == args.epoch_start)
+        if profiling_this_epoch:
+            from ..utils import profiling
 
-            rng, k_z, k_d_step, k_z2, k_g_step = jax.random.split(rng, 5)
-            mixing = args.mixing and py_rng.random() < 0.9
-            zs = jax.random.normal(k_z, (2, b, args.code_size))
-            sel = jnp.asarray(sg.sample_style_sel(
-                py_rng, 2 if mixing else 1, step, n_blocks), jnp.int32)
+            timer = profiling.StepTimer()
+            trace_ctx = profiling.trace(
+                os.path.join(args.output_dir, "profile"))
+        else:
+            timer = trace_ctx = None
 
-            params_d, opt_d, aux = d_step(
-                params_d, opt_d, params_g, real, zs, sel,
-                jnp.float32(alpha), jnp.float32(lr), k_d_step)
-            # keep metrics on device; fetch once per epoch (tunnel RTTs)
-            disc_loss_dev = aux["disc_loss"]
-            gp_dev = aux["grad_penalty"]
+        with (trace_ctx if trace_ctx is not None else _ctx.nullcontext()):
+            # background prefetch overlaps decode + H2D with the device
+            # steps (the reference used DataLoader workers)
+            for i, real in enumerate(prefetch_iter(dataset.batches())):
+                n_batches += 1
+                if args.max_batches and i >= args.max_batches:
+                    break
+                b = real.shape[0]
+                alpha = (1.0 if (resolution == args.init_size
+                                 and not args.ckpt) or final_progress
+                         else min(1.0, (used_sample + 1) / args.phase))
+                used_sample += b
 
-            if (i + 1) % args.n_critic == 0:
-                mixing = args.mixing and py_rng.random() < 0.9
-                zs2 = jax.random.normal(k_z2, (2, b, args.code_size))
-                sel2 = jnp.asarray(sg.sample_style_sel(
-                    py_rng, 2 if mixing else 1, step, n_blocks), jnp.int32)
-                params_g, opt_g, g_running, gl = g_step(
-                    params_g, opt_g, g_running, params_d, zs2, sel2,
-                    jnp.float32(alpha), jnp.float32(lr), k_g_step)
-                gen_loss_dev = gl
+                with (timer.step() if timer is not None
+                      else _ctx.nullcontext()):
+                    rng, k_z, k_d_step, k_z2, k_g_step = \
+                        jax.random.split(rng, 5)
+                    mixing = args.mixing and py_rng.random() < 0.9
+                    zs = jax.random.normal(k_z, (2, b, args.code_size))
+                    sel = jnp.asarray(sg.sample_style_sel(
+                        py_rng, 2 if mixing else 1, step, n_blocks),
+                        jnp.int32)
 
+                    params_d, opt_d, aux = d_step(
+                        params_d, opt_d, params_g, real, zs, sel,
+                        jnp.float32(alpha), jnp.float32(lr), k_d_step)
+                    # metrics stay on device; fetch once per epoch
+                    disc_loss_dev = aux["disc_loss"]
+                    gp_dev = aux["grad_penalty"]
+
+                    if (i + 1) % args.n_critic == 0:
+                        mixing = args.mixing and py_rng.random() < 0.9
+                        zs2 = jax.random.normal(k_z2,
+                                                (2, b, args.code_size))
+                        sel2 = jnp.asarray(sg.sample_style_sel(
+                            py_rng, 2 if mixing else 1, step, n_blocks),
+                            jnp.int32)
+                        params_g, opt_g, g_running, gl = g_step(
+                            params_g, opt_g, g_running, params_d, zs2,
+                            sel2, jnp.float32(alpha), jnp.float32(lr),
+                            k_g_step)
+                        gen_loss_dev = gl
+
+        if timer is not None:
+            s = timer.summary()
+            if s.get("steps"):
+                print(f"profile: {s['steps']} timed batches, "
+                      f"p50 {s['p50_s'] * 1e3:.0f} ms, "
+                      f"p90 {s['p90_s'] * 1e3:.0f} ms, "
+                      f"{used_sample / max(time.time() - t0, 1e-9):.1f} "
+                      "imgs/s; trace in "
+                      f"{os.path.join(args.output_dir, 'profile')}")
         if n_batches == 0:
             raise RuntimeError(
                 f"epoch {epoch}: zero batches at batch size {batch} over "

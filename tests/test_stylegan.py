@@ -382,3 +382,24 @@ def test_gan_dataset_skips_non_image_npy(tmp_path):
     store = MultiResolutionStore.build(str(d), str(tmp_path / "store"),
                                        resolutions=(4, 8), seed=0)
     assert len(store) == 5  # 5 tiles, no coordinate rows
+
+
+def test_gan_trainer_profile_flag(image_dir, tmp_path):
+    """--profile captures an XProf trace of the first epoch + per-batch
+    percentiles (the TPU equivalent of the reference's committed cProfile
+    GPU-utilization artifact)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    out = str(tmp_path / "gan_prof")
+    args = gan.build_argparser().parse_args([
+        "--data_dir", image_dir, "--output_dir", out,
+        "--epochs", "1", "--step_every", "1", "--init_size", "4",
+        "--max_size", "4", "--width_mult", str(WM), "--code_size", "32",
+        "--batch_override", "4", "--max_batches", "3", "--phase", "8",
+        "--profile",
+    ])
+    gan.train_gan(args)
+    prof = os.path.join(out, "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)
