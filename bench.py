@@ -136,12 +136,6 @@ def _staged_inputs(base, n):
 _u8_checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
 
 
-def _staged_u8(base, i):
-    """One fresh uint8 variant (XOR keeps the distribution), materialized."""
-    make = jax.jit(lambda b, v: b ^ v)
-    x = make(base, jnp.uint8(i % 254 + 1))
-    float(_u8_checksum(x))
-    return x
 
 
 def _device_calibration_tflops(chains: int = 16) -> float:
@@ -163,12 +157,12 @@ def bench_resnet_forward(quick: bool, repeats: int = 3):
     elif quick:
         K, B, tbatch, titers, repeats = 2, 512, 4, 2, 2
     else:
-        # one plain 8192-tile batch: at fixed dispatch size, fewer+larger
-        # microbatches win monotonically (interleaved sweep,
-        # tools/exp_megabatch.py: 8x1024 -> 1x8192 is +~12%; PROFILE.md
-        # "megabatch geometry"). B=8192 is near the activation-memory
-        # ceiling (stem output alone is 7.4G bf16).
-        K, B, tbatch, titers = 1, 8192, 8, 3
+        # scan over 2 microbatches of 4096: the sweep winner
+        # (tools/exp_megabatch.py; PROFILE.md "megabatch geometry").
+        # Larger microbatches beat 8x1024 by ~12%, but the plain 1x8192
+        # batch loses ~7% back to 2x4096 — B=4096 keeps the working set
+        # comfortably inside HBM while 8192's pushes the ceiling.
+        K, B, tbatch, titers = 2, 4096, 8, 3
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
 
     @jax.jit

@@ -31,11 +31,12 @@ DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 2560)
 def bucket_for(n: int, buckets=DEFAULT_BUCKETS, multiple_of: int = 1) -> int:
     """Smallest bucket >= n (and a multiple of ``multiple_of``).
 
-    Above the top bucket, sizes round up to a coarse 1024-tile granule
-    instead of the exact count: eval bags are uncapped (reference runs all
-    tiles), and an exact-size pad would compile a fresh program per
-    oversized slide (minutes each on TPU). The padding is mask-exact; the
-    waste is bounded at 1023 tiles."""
+    Above the top bucket, sizes round up to a coarse granule —
+    lcm(1024, multiple_of) — instead of the exact count: eval bags are
+    uncapped (reference runs all tiles), and an exact-size pad would
+    compile a fresh program per oversized slide (minutes each on TPU).
+    The padding is mask-exact; the waste is bounded at granule-1 tiles
+    (1023 at multiple_of=1)."""
     for b in buckets:
         if b >= n and b % multiple_of == 0:
             return b

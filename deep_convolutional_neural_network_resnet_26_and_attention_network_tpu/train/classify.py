@@ -177,6 +177,12 @@ class Driver:
         dataset.train()
         if hasattr(dataset, "reseed_augment"):
             dataset.reseed_augment(self.args.seed, epoch)
+        if getattr(self.args, "workers", 1) > 1:
+            # parallel producers deliver out of order, so per-bag rng keys
+            # and window membership vary run-to-run — bit-exact resume
+            # holds only for the default single producer
+            print("note: --workers > 1 delivers bags out of order; "
+                  "bit-exact determinism/resume requires --workers 1")
         loader = sample_data(dataset, image_size=self.args.resolution,
                              shuffle=True, seed=self.loader_seed(epoch),
                              multiple_of=getattr(self, "tiles_multiple", 1),

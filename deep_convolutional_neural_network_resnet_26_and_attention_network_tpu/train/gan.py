@@ -369,15 +369,21 @@ def train_gan(args):
                             sel2, jnp.float32(alpha), jnp.float32(lr),
                             k_g_step)
                         gen_loss_dev = gl
+                    if timer is not None:
+                        # dispatch is async: the timed region must end in
+                        # a host fetch or it measures enqueue time only
+                        float(disc_loss_dev)
 
         if timer is not None:
             s = timer.summary()
             if s.get("steps"):
+                # throughput from the timed (post-warmup) batches only —
+                # the first batch of this epoch pays jit compilation
                 print(f"profile: {s['steps']} timed batches, "
                       f"p50 {s['p50_s'] * 1e3:.0f} ms, "
                       f"p90 {s['p90_s'] * 1e3:.0f} ms, "
-                      f"{used_sample / max(time.time() - t0, 1e-9):.1f} "
-                      "imgs/s; trace in "
+                      f"{s['steps'] * batch / max(s['total_s'], 1e-9):.1f} "
+                      "imgs/s (excl. compile); trace in "
                       f"{os.path.join(args.output_dir, 'profile')}")
         if n_batches == 0:
             raise RuntimeError(

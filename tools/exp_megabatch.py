@@ -45,15 +45,23 @@ def main():
             xf = xb.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
             return None, resnet.apply_resnet26(p, xf,
                                                compute_dtype=jnp.bfloat16)
+        if x.ndim == 4:  # K==1 runs as a plain batch (see make())
+            return step(None, x)[1]
         return lax.scan(step, None, x)[1]
+
+    # fused checksum: eager astype(f32) materializes a 4x temp (PROFILE.md
+    # "memory gotchas")
+    checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
 
     def make(K, B, seed):
         # one input resident at a time; randint's u32 bit intermediate is
-        # 4x the u8 output, so keep K*B <= ~8192 tiles per config
+        # 4x the u8 output, so keep K*B <= ~8192 tiles per config. K==1
+        # drops the leading dim — XLA tile-pads a 1-sized u8 leading dim
+        # 4x (PROFILE.md), which alone OOMs at B=8192.
+        shape = (B, 300, 300, 3) if K == 1 else (K, B, 300, 300, 3)
         x = jax.jit(lambda k: jax.random.randint(
-            k, (K, B, 300, 300, 3), 0, 256, jnp.uint8))(
-                jax.random.PRNGKey(seed))
-        float(jnp.sum(x.astype(jnp.float32)))
+            k, shape, 0, 256, jnp.uint8))(jax.random.PRNGKey(seed))
+        float(checksum(x))
         return x
 
     res = {kb: [] for kb in CONFIGS}
