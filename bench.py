@@ -157,12 +157,12 @@ def bench_resnet_forward(quick: bool, repeats: int = 3):
     elif quick:
         K, B, tbatch, titers, repeats = 2, 512, 4, 2, 2
     else:
-        # scan over 2 microbatches of 4096: the sweep winner
+        # scan over 3 microbatches of 4096: the sweep winner
         # (tools/exp_megabatch.py; PROFILE.md "megabatch geometry").
-        # Larger microbatches beat 8x1024 by ~12%, but the plain 1x8192
-        # batch loses ~7% back to 2x4096 — B=4096 keeps the working set
-        # comfortably inside HBM while 8192's pushes the ceiling.
-        K, B, tbatch, titers = 2, 4096, 8, 3
+        # B=4096 is the best microbatch (1x8192's working set pushes the
+        # HBM ceiling and loses ~7%); total dispatch size keeps helping
+        # up to K=3 (+6% over K=2); K=4's 16k-tile input OOMs.
+        K, B, tbatch, titers = 3, 4096, 8, 3
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
 
     @jax.jit

@@ -528,3 +528,38 @@ def test_tensorboard_epoch_writer(tmp_path):
     if w.active:  # tensorboard present in this image
         files = os.listdir(tmp_path / "tb")
         assert any("tfevents" in f for f in files)
+
+
+def test_resume_is_bit_exact_mesh(synthetic_tree, tmp_path, monkeypatch):
+    """Same bit-exact resume guarantee through the MESH path: window rng
+    keys fold in the window index from an epoch-derived root, and the
+    seeded loader fixes window membership."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+        checkpoint,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    common = [
+        "--arch", "tiny", "--resolution", "16", "--accum", "2", "--mesh",
+        "8", "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32", "--seed", "6",
+    ]
+    assert classify.main(["--tag", "MA", "--epoch_start", "0",
+                          "--epoch_end", "1"] + common) == 0
+    assert classify.main(["--tag", "MB", "--epoch_start", "0",
+                          "--epoch_end", "0"] + common) == 0
+    ckpt_b0 = out_root / "run_MB" / "train_step-000.model"
+    assert classify.main(["--tag", "MB", "--epoch_start", "1",
+                          "--epoch_end", "1", "--ckpt", str(ckpt_b0)]
+                         + common) == 0
+
+    a = checkpoint.load_raw(str(out_root / "run_MA" / "train_step-001.model"))
+    b = checkpoint.load_raw(str(out_root / "run_MB" / "train_step-001.model"))
+    a_params = {k: v for k, v in a.items() if k.startswith("classifier/")}
+    assert a_params
+    for k, va in a_params.items():
+        np.testing.assert_array_equal(va, b[k], err_msg=k)

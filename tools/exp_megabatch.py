@@ -58,9 +58,19 @@ def main():
         # 4x the u8 output, so keep K*B <= ~8192 tiles per config. K==1
         # drops the leading dim — XLA tile-pads a 1-sized u8 leading dim
         # 4x (PROFILE.md), which alone OOMs at B=8192.
-        shape = (B, 300, 300, 3) if K == 1 else (K, B, 300, 300, 3)
-        x = jax.jit(lambda k: jax.random.randint(
-            k, shape, 0, 256, jnp.uint8))(jax.random.PRNGKey(seed))
+        key = jax.random.PRNGKey(seed)
+        if K >= 4:
+            # whole-array randint's u32 intermediate (4x the u8) exceeds
+            # HBM from K=4: generate per-microbatch and stack (K>=4 leaves
+            # the T(4,128) leading-dim tile unpadded or mildly padded)
+            gen = jax.jit(lambda k: jax.random.randint(
+                k, (B, 300, 300, 3), 0, 256, jnp.uint8))
+            x = jnp.stack([gen(jax.random.fold_in(key, i))
+                           for i in range(K)])
+        else:
+            shape = (B, 300, 300, 3) if K == 1 else (K, B, 300, 300, 3)
+            x = jax.jit(lambda k: jax.random.randint(
+                k, shape, 0, 256, jnp.uint8))(key)
         float(checksum(x))
         return x
 
