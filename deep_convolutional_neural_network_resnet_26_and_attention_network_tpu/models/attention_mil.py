@@ -137,6 +137,15 @@ def attention_pool(params, H, cfg: MILConfig, *, mask=None, rng=None,
         A_raw_m = A_raw
 
     if use_pallas_pool:
+        from ..ops.pallas_pool import PALLAS_POOL_MAX_TILES
+
+        # the single-program kernel holds its [T, 128] f32 buffers in
+        # VMEM; uncapped eval bags (1024-tile granules above the 2560
+        # bucket) would exceed it, so oversized bags take the numerically
+        # identical unfused path instead of a Mosaic allocation failure
+        use_pallas_pool = A_raw.shape[0] <= PALLAS_POOL_MAX_TILES
+
+    if use_pallas_pool:
         # fused serving path: softplus+gate+L1-norm+pool in one VMEM pass
         from ..ops.pallas_pool import gated_attention_pool
 

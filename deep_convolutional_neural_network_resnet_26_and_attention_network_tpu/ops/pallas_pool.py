@@ -29,6 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# VMEM budget for the single-program kernel: ~8 [T, 128] f32 buffers is
+# ~4 KB per tile row; 2560 rows ≈ 10 MB of the ~16 MB/core VMEM. Callers
+# (models.attention_mil) fall back to the numerically identical unfused
+# path above this.
+PALLAS_POOL_MAX_TILES = 2560
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -49,6 +49,16 @@ def init_train_state(params, tx=None) -> TrainState:
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
+def _apply(tx, state: TrainState, grads, lr) -> TrainState:
+    """The ONE update rule (Adam moments from raw grads, step scaled by
+    lr) shared by the batched train step and the sequential
+    accumulate-then-step path — change it here and both paths move."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1)
+
+
 def batched_forward(params, tiles, masks, labels, cfg, *, train, rng=None,
                     compute_dtype=None):
     """vmapped bag forward: tiles [B,T,H,W,3], masks [B,T], labels [B]."""
@@ -90,14 +100,18 @@ def make_train_step(cfg: amil.MILConfig, tx=None, *, compute_dtype=None,
             return (outs["loss"] * bag_weights).sum(), outs
 
         (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
+        new_state = _apply(tx, state, grads, lr)
         if bag_weights is None:
             mean = lambda x: x.mean()  # noqa: E731
         else:
             denom = jnp.maximum(bag_weights.sum(), 1.0)
             mean = lambda x: (x * bag_weights).sum() / denom  # noqa: E731
+        y_pred_hat = outs["y_pred_hat"]
+        if bag_weights is not None:
+            # dummy padded bags must not look like real predictions:
+            # their y_pred_hat is flagged -1 (y_pred stays raw per-slot;
+            # slice real bags before consuming it)
+            y_pred_hat = jnp.where(bag_weights > 0, y_pred_hat, -1)
         metrics = {
             "loss": mean(outs["loss"]),
             "error": mean(outs["error"]),
@@ -106,9 +120,9 @@ def make_train_step(cfg: amil.MILConfig, tx=None, *, compute_dtype=None,
             "KLD": mean(outs["KLD"]),
             "l2": mean(outs["l2"]),
             "y_pred": outs["y_pred"],
-            "y_pred_hat": outs["y_pred_hat"],
+            "y_pred_hat": y_pred_hat,
         }
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
@@ -120,13 +134,15 @@ def make_bag_forward(cfg: amil.MILConfig, *, train: bool = False,
 
     Retraces once per padded bucket size; used by the sequential driver
     (validate / visualize / interface paths). ``use_pallas_pool`` switches
-    the eval path onto the fused Pallas pooling kernel (TPU serving)."""
+    either mode onto the fused Pallas pooling kernel (its custom VJP makes
+    it valid under training; oversized bags auto-fall back)."""
 
     if train:
         def fwd(params, tiles, mask, label, rng):
             return amil.apply_attention_mil(params, tiles, label, cfg,
                                             mask=mask, train=True, rng=rng,
-                                            compute_dtype=compute_dtype)
+                                            compute_dtype=compute_dtype,
+                                            use_pallas_pool=use_pallas_pool)
     else:
         def fwd(params, tiles, mask, label):
             return amil.apply_attention_mil(params, tiles, label, cfg,
@@ -171,14 +187,7 @@ def make_apply_updates(tx=None):
     gbm/classify_combined.py:450-454); Adam moments update from the raw
     accumulated gradient, the step size scales by lr."""
     tx = tx or make_optimizer()
-
-    def apply(state: TrainState, grads, lr):
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1)
-
-    return jax.jit(apply)
+    return jax.jit(lambda state, grads, lr: _apply(tx, state, grads, lr))
 
 
 def make_eval_step(cfg: amil.MILConfig, *, compute_dtype=None):

@@ -465,6 +465,37 @@ def test_train_step_bag_weights_zero_out_dummy_bags():
     ra = jax.tree_util.tree_leaves(s_ref.params)
     rb = jax.tree_util.tree_leaves(s_pad.params)
     assert all(np.allclose(a, b, atol=1e-6) for a, b in zip(ra, rb))
+    # dummy slots must not look like real predictions
+    hats = np.asarray(m_pad["y_pred_hat"]).ravel()
+    assert (hats[2:] == -1).all() and (hats[:2] >= 0).all()
+
+
+def test_pallas_pool_falls_back_above_vmem_cap(monkeypatch):
+    """Bags beyond PALLAS_POOL_MAX_TILES must take the unfused path (the
+    single-program kernel's VMEM buffers scale with T; uncapped eval bags
+    round to 1024-tile granules well past the budget)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.ops import (
+        pallas_pool,
+    )
+
+    cfg = amil.MILConfig(widths=(4, 4, 4, 4), blocks=(1, 1, 1, 1), L=8, D=4)
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    T = pallas_pool.PALLAS_POOL_MAX_TILES + 1
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel invoked above the VMEM cap")
+
+    monkeypatch.setattr(pallas_pool, "gated_attention_pool", boom)
+    H = jnp.asarray(np.random.default_rng(0).random((T, cfg.L)), jnp.float32)
+    out = amil.attention_pool(params, H, cfg, use_pallas_pool=True)
+    assert np.isfinite(np.asarray(out["Mterm"])).all()
+
+    # at the cap the kernel IS used
+    with pytest.raises(Exception):
+        amil.attention_pool(
+            params,
+            H[:pallas_pool.PALLAS_POOL_MAX_TILES],
+            cfg, use_pallas_pool=True)
 
 
 def test_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
