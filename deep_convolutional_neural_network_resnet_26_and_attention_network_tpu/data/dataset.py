@@ -22,13 +22,20 @@ from datetime import datetime
 
 import numpy as np
 from sklearn.model_selection import KFold
-from sklearn.utils import class_weight
 
 from . import accessors
 from .roibuilder import RoiBuilder
 
 CLUSTER_TO_OUTCOME = {"A": 0, "B": 1, "C": 2}
 MIN_TILES = 20  # reference: gbm/GlioblastomaDS.py:170,194
+
+
+def _base_idx(file: str) -> str:
+    """Slide-id stem from a filename: text before the first space/dash
+    (the GHP_<n>_<biopsy> convention; reference:
+    gbm/GlioblastomaDS.py:137-144). One definition — labels, caMicroscope
+    ids, and split restores must parse identically."""
+    return os.path.split(file)[1].split(" ")[0].split("-")[0]
 
 
 class GHPSingleBagDatasetSimple:
@@ -57,6 +64,9 @@ class GHPSingleBagDatasetSimple:
         self.svs_glob = svs_glob
         self.label_sheet = label_sheet or os.path.join(
             root_dir, "PCA Clustering designation and thresholds.xlsx")
+        # accepted for call-signature parity with the reference
+        # (gbm/GlioblastomaDS.py:34); the split is governed by KFold, and
+        # bags are the only mode here — neither knob alters behavior
         self.bagmode = bag
         self.ylabel = ylabel
         self.roi_size = roi_size  # None -> RoiBuilder default (1200)
@@ -96,7 +106,7 @@ class GHPSingleBagDatasetSimple:
             params = {
                 "caMIC_eligable": -1, "camic_id": "000",
                 "studyid": "checkpoint-training",
-                "pxname": os.path.split(file)[1].split(" ")[0].split("-")[0],
+                "pxname": _base_idx(file),
                 "outcome_item": out, "outcome_tensor": np.asarray([out]),
             }
             b = self._builder(file, params)
@@ -108,7 +118,7 @@ class GHPSingleBagDatasetSimple:
             params = {
                 "caMIC_eligable": -1, "camic_id": "000",
                 "studyid": "checkpoint-validation",
-                "pxname": os.path.split(file)[1].split(" ")[0].split("-")[0],
+                "pxname": _base_idx(file),
                 "outcome_item": out, "outcome_tensor": np.asarray([out]),
             }
             b = self._builder(file, params)
@@ -119,16 +129,23 @@ class GHPSingleBagDatasetSimple:
         self._save_split()
 
     def GetClassWeights(self):
-        """sklearn 'balanced' class weights over the training labels
-        (reference: gbm/GlioblastomaDS.py:119-120)."""
-        return np.asarray(class_weight.compute_class_weight(
-            class_weight="balanced",
-            classes=np.unique(self.train_slide_record),
-            y=self.train_slide_record), np.float32)
+        """'balanced' class weights over the training labels, always
+        length n_classes=3 (reference: gbm/GlioblastomaDS.py:119-120 via
+        sklearn). The sklearn call returns weights only for PRESENT
+        classes — a fold missing one class would hand the fixed 3-class
+        loss a length-2 vector; absent classes get weight 0 instead
+        (they cannot appear in training loss anyway)."""
+        y = np.asarray(self.train_slide_record)
+        counts = np.asarray([(y == c).sum() for c in range(3)], np.float32)
+        present = counts > 0
+        weights = np.zeros(3, np.float32)
+        # sklearn 'balanced': n_samples / (n_present_classes * count_c)
+        weights[present] = len(y) / (present.sum() * counts[present])
+        return weights
 
     # ------------------------------------------------------------------
     def _label_for_scn(self, file: str) -> int:
-        base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+        base_idx = _base_idx(file)
         identifiers = accessors.split_GHP_convention(
             base_idx, dtypes=[str, int, str])
         outcome = -9
@@ -140,7 +157,7 @@ class GHPSingleBagDatasetSimple:
         return outcome
 
     def _add_builder(self, file: str, outcome: int, pxname: str):
-        base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+        base_idx = _base_idx(file)
         params = {
             "caMIC_eligable": -1,
             "caMIC_image_name": base_idx.replace("_H&E", "_HandE"),
@@ -167,13 +184,13 @@ class GHPSingleBagDatasetSimple:
             outcome = self._label_for_scn(file)
             if outcome not in (0, 1, 2):
                 continue
-            base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+            base_idx = _base_idx(file)
             ids = accessors.split_GHP_convention(base_idx, dtypes=[str, int, str])
             self._add_builder(file, outcome, f"{ids[0]}_{ids[1]}_{ids[2]}")
 
         for file in sorted(glob.glob(
                 os.path.join(self.ROOT_DIR, self.PATH_IMG, self.svs_glob))):
-            base_idx = os.path.split(file)[1].split(" ")[0].split("-")[0]
+            base_idx = _base_idx(file)
             name = base_idx.replace("_H&E", "_HandE").split(".")[0]
             self._add_builder(file, 1, f"SN_{name}")  # super-normals -> 1
 
@@ -188,11 +205,17 @@ class GHPSingleBagDatasetSimple:
         folds = list(KFold(n_folds, shuffle=True,
                            random_state=self._np_rng.integers(0, 2**31 - 1))
                      .split(self.all_builders))
-        if n_fold_selection < n_folds:
-            # randomized fold pick among the middle folds
-            # (reference: gbm/GlioblastomaDS.py:202-205)
-            n_split = n_folds - 2
-            n_select = self._py_rng.randrange(n_split) + 1
+        if 0 <= n_fold_selection < n_folds:
+            # an explicit fold REALLY selects that fold — the reference
+            # accepted n_fold_selection but then drew a random middle fold
+            # regardless (gbm/GlioblastomaDS.py:202-205), making
+            # CLI-driven cross-validation impossible; --fold N here means
+            # folds[N] (PARITY.md deviation)
+            train, test = folds[n_fold_selection]
+        elif n_fold_selection < 0:
+            # reference behavior: seeded-random pick among the middle folds
+            n_split = max(n_folds - 2, 1)
+            n_select = min(self._py_rng.randrange(n_split) + 1, n_folds - 1)
             train, test = folds[n_select]
         else:
             train = test = range(len(self.all_builders))

@@ -28,7 +28,12 @@ from . import slide_io, tissue, transforms
 
 ROI_SIZE = 1200          # reference: RoiBuilder.py:51
 TRAIN_TILE_CAP = 2500    # reference: RoiBuilder.py:230
-EMPTY_BAG_SHAPE = (20, 128, 128, 3)  # zeros fallback (reference: RoiBuilder.py:236)
+# zeros fallback for tile-less slides: the reference returns a fixed
+# zeros(20, 3, 128, 128) (RoiBuilder.py:236); here the spatial size follows
+# the ARMED resolution — a 128px bag among 300px bags would force a fresh
+# jit compile and break mesh-sharded batches (deviation noted in PARITY.md)
+EMPTY_BAG_TILES = 20
+EMPTY_BAG_FALLBACK_RES = 128  # when no resolution armed yet
 
 
 class RoiBuilder:
@@ -133,8 +138,20 @@ class RoiBuilder:
         else:
             tiles, coords = tissue.extract_tissue_tiles(
                 img, self.params["roi_size"], self.params["padding"])
-        np.save(self.params["data_cache"], tiles)
-        np.save(self.params["coor_cache"], coords)
+        # atomic (tmp + os.replace), COOR before DATA: __init__ treats the
+        # data cache as the cache-hit marker and immediately reads the
+        # coor cache, so a kill between the two writes must leave either
+        # nothing or a complete pair — never data-without-coor
+        for path, arr in ((self.params["coor_cache"], coords),
+                          (self.params["data_cache"], tiles)):
+            tmp = "{0}.{1}.tmp.npy".format(path, os.getpid())
+            try:
+                np.save(tmp, arr)
+                os.replace(tmp, path)
+            except OSError:
+                if os.path.isfile(tmp):
+                    os.unlink(tmp)
+                raise
         self.params["ntiles"] = len(coords)
         self.params["status"] = "VALID"
         return True
@@ -150,14 +167,22 @@ class RoiBuilder:
         self.params["resolution"] = self._resolution
         self.params["status"] = "VALID-READY"
 
-    def _load_cache(self, with_coords: bool = False):
+    def _load_cache(self, with_coords: bool = False, mmap: bool = False):
+        """``mmap=True`` memory-maps the tile stack — the train path only
+        touches <= TRAIN_TILE_CAP of the rows, so a multi-GB cache reads
+        only the selected tiles' pages."""
         if not os.path.isfile(self.params["data_cache"]):
             raise RuntimeError(
                 f"RoiBuilder has no cache: {self.params['data_cache']}")
-        data = np.load(self.params["data_cache"])
+        data = np.load(self.params["data_cache"],
+                       mmap_mode="r" if mmap else None)
         if with_coords:
             return data, np.load(self.params["coor_cache"])
         return data
+
+    def _empty_bag(self):
+        res = self._resolution or EMPTY_BAG_FALLBACK_RES
+        return jnp.zeros((EMPTY_BAG_TILES, res, res, 3), jnp.float32)
 
     def _require_ready(self):
         if "VALID-READY" not in self.params["status"]:
@@ -170,12 +195,15 @@ class RoiBuilder:
         """Augmented bag [T<=2500, res, res, 3] float32 in [-1, 1]
         (reference: RoiBuilder.py:215-238)."""
         self._require_ready()
-        data = self._load_cache()
+        data = self._load_cache(mmap=True)
         if data.shape[0] > TRAIN_TILE_CAP:
             idx = self._rng.choice(data.shape[0], TRAIN_TILE_CAP, replace=False)
-            data = data[idx]
+            # sorted gather from the memmap reads only the chosen pages
+            data = np.asarray(data[np.sort(idx)])
+        else:
+            data = np.asarray(data)
         if len(data) == 0:
-            return jnp.zeros(EMPTY_BAG_SHAPE, jnp.float32)
+            return self._empty_bag()
         self._train_rng, sub = jax.random.split(self._train_rng)
         # Pad(100) at roi 1200 like the reference (RoiBuilder.py:195); for
         # other tile sizes the jitter scales proportionally — a fixed 100px
@@ -243,7 +271,7 @@ class RoiBuilder:
         self._require_ready()
         data = self._load_cache()
         if len(data) == 0:
-            return jnp.zeros(EMPTY_BAG_SHAPE, jnp.float32)
+            return self._empty_bag()
         return self._eval_tiles(data)
 
     def get_inference_data(self):
@@ -251,4 +279,8 @@ class RoiBuilder:
         randomization or capping (reference: RoiBuilder.py:261-284)."""
         self._require_ready()
         img_data, coords = self._load_cache(with_coords=True)
+        if len(img_data) == 0:
+            # same zeros fallback as the other getters — one degenerate
+            # slide must not sink an interface/heatmap sweep
+            return self._empty_bag(), np.zeros((0, 2), np.int64), img_data
         return self._eval_tiles(img_data), coords, img_data

@@ -23,6 +23,11 @@ import numpy as np
 
 def _flatten(tree, prefix=""):
     flat = {}
+    if tree is None:
+        # jax.tree_util.tree_flatten skips None nodes (optax.masked etc.);
+        # emitting a key here would shift the key<->leaf zip in the
+        # restore paths by one and silently corrupt every later slot
+        return flat
     if isinstance(tree, dict):
         # sorted keys: matches jax.tree_util's dict traversal order, so the
         # flat key list can be zipped against tree_flatten leaves
@@ -37,19 +42,6 @@ def _flatten(tree, prefix=""):
     else:
         flat[prefix[:-1]] = np.asarray(tree)
     return flat
-
-
-def _set_by_path(tree, path, value):
-    """Set a '/'-keyed leaf inside a params-like pytree (dicts/lists)."""
-    keys = path.split("/")
-    node = tree
-    for k in keys[:-1]:
-        node = node[int(k)] if isinstance(node, (list, tuple)) else node[k]
-    last = keys[-1]
-    if isinstance(node, (list, tuple)):
-        node[int(last)] = value
-    else:
-        node[last] = value
 
 
 def checkpoint_path(output_dir: str, epoch: int, final: bool = False) -> str:
@@ -67,8 +59,17 @@ def save(path: str, params, opt_state=None, extra: dict | None = None):
         blob[f"extra/{k}"] = np.asarray(v)
     buf = io.BytesIO()
     np.savez(buf, **blob)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    # tmp + os.replace: a kill mid-write must never leave a truncated
+    # checkpoint where latest_checkpoint()/--ckpt auto would pick it up
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, path)
+    except OSError:
+        if os.path.isfile(tmp):
+            os.unlink(tmp)
+        raise
     return path
 
 
@@ -88,9 +89,7 @@ def restore_params(params, path: str, *, transfer: bool = False,
     """
     blob = load_raw(path)
     flat_new = _flatten(params)
-    loaded, skipped = [], []
-    # params arrive as dicts/lists; mutate a deep copy leaf-by-leaf
-    out = jax.tree_util.tree_map(lambda x: x, params)
+    loaded, skipped, vals = [], [], {}
     for key, value in blob.items():
         if not key.startswith("classifier/"):
             continue
@@ -107,12 +106,19 @@ def restore_params(params, path: str, *, transfer: bool = False,
                 raise ValueError(f"shape mismatch at {pkey}")
             skipped.append(pkey)
             continue
-        _set_by_path(out, pkey, jnp.asarray(value))
+        vals[pkey] = jnp.asarray(value)
         loaded.append(pkey)
     if strict:
         missing = set(flat_new) - set(loaded)
         if missing and not transfer:
             raise KeyError(f"missing checkpoint keys: {sorted(missing)[:5]}...")
+    # rebuild via flatten/unflatten (not leaf mutation): works for ANY
+    # pytree — tuples included — because _flatten's key order mirrors
+    # tree_flatten's traversal
+    flat_order = list(flat_new.keys())
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    new_leaves = [vals.get(k, leaf) for k, leaf in zip(flat_order, leaves)]
+    out = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return out, loaded, skipped
 
 

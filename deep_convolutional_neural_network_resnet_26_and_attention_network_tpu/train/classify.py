@@ -47,7 +47,10 @@ def build_argparser():
                    help="load from previous checkpoints")
     p.add_argument("--epoch_start", default=0, type=int)
     p.add_argument("--epoch_end", default=40, type=int)
-    p.add_argument("--fold", default=0, type=int, help="Which fold?")
+    p.add_argument("--fold", default=0, type=int,
+                   help="Which fold? 0..n_folds-1 selects that KFold fold; "
+                        "-1 = the reference's seeded-random middle-fold "
+                        "pick; >= n_folds trains on every slide")
     p.add_argument("--transfer", action="store_true",
                    help="Transfer learning: restore ResNet convs only, "
                         "linear layers stay freshly initialized")

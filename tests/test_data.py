@@ -270,7 +270,10 @@ def test_dataset_load_new_and_modes(slide_tree, tmp_path):
     assert len(d.train_slide_builders) + len(d.test_slide_builders) == 4
 
     w = d.GetClassWeights()
-    assert w.ndim == 1 and (w > 0).all()
+    # always length n_classes; absent-in-fold classes get weight 0
+    assert w.shape == (3,) and (w >= 0).all() and (w > 0).any()
+    present = [c for c in range(3) if d.train_slide_record.count(c)]
+    assert all(w[c] > 0 for c in present)
 
     d.NewResolution(16)
     d.train()

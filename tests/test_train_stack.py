@@ -594,3 +594,28 @@ def test_resume_is_bit_exact_mesh(synthetic_tree, tmp_path, monkeypatch):
     assert a_params
     for k, va in a_params.items():
         np.testing.assert_array_equal(va, b[k], err_msg=k)
+
+
+def test_checkpoint_restores_tuple_and_none_pytrees(tmp_path):
+    """restore_params/opt_state must handle pytrees jax supports but the
+    old leaf-mutation path could not: tuple nodes (immutable) and None
+    nodes (skipped by tree_flatten — a key for them would shift the
+    key<->leaf zip and silently corrupt every later slot)."""
+    tree = {"pair": (jnp.ones((2, 2)), jnp.zeros((3,))),
+            "gap": None,
+            "z_tail": jnp.full((4,), 7.0)}
+    path = checkpoint.save(str(tmp_path / "t.model"), tree, tree)
+
+    template = {"pair": (jnp.zeros((2, 2)), jnp.ones((3,))),
+                "gap": None,
+                "z_tail": jnp.zeros((4,))}
+    restored, loaded, skipped = checkpoint.restore_params(template, path)
+    assert not skipped and len(loaded) == 3
+    np.testing.assert_array_equal(restored["pair"][0], np.ones((2, 2)))
+    np.testing.assert_array_equal(restored["z_tail"], np.full((4,), 7.0))
+    assert restored["gap"] is None
+
+    opt_restored, ok = checkpoint.restore_opt_state(template, path)
+    assert ok
+    np.testing.assert_array_equal(opt_restored["z_tail"],
+                                  np.full((4,), 7.0))
