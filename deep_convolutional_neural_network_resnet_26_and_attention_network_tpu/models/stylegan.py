@@ -230,6 +230,10 @@ def _gen_layout(width_mult: float):
 
 
 def init_generator(key, *, style_dim=512, width_mult=1.0, fused=True):
+    # ``fused`` is signature parity with the reference Generator; the
+    # fused-vs-plain upsample choice is baked into _gen_layout per block
+    # (the reference hardcodes the same per-resolution split), so the
+    # flag does not alter parameters
     layout = _gen_layout(width_mult)
     n = len(layout)
     keys = jax.random.split(key, 2 * n)
@@ -249,6 +253,10 @@ def apply_generator(params, styles, noise, *, step=0, alpha=-1.0,
     host-computed like reference model.py:419-434). Returns [B, s, s, 3].
     """
     layout = _gen_layout(width_mult)
+    if not 0 <= step < len(layout):
+        raise ValueError(
+            f"step {step} out of range for a {len(layout)}-block generator "
+            f"(max resolution {4 * 2 ** (len(layout) - 1)}px)")
     if style_sel is None:
         style_sel = jnp.zeros((len(layout),), jnp.int32)
     out = None
@@ -361,6 +369,9 @@ def _disc_layout(width_mult: float):
 
 
 def init_discriminator(key, *, width_mult=1.0, from_rgb_activate=True):
+    # ``from_rgb_activate`` does not change parameter shapes — it is an
+    # APPLY-time choice (thread the same value into apply_discriminator);
+    # accepted here for signature parity with the reference
     layout, ch = _disc_layout(width_mult)
     n = len(layout)
     keys = jax.random.split(key, 3 * n + 1)

@@ -504,15 +504,19 @@ class Driver:
         dataset.train()
         loader = sample_data(dataset, image_size=self.args.resolution,
                              shuffle=True)
+        from ..models import resnet
+
         for tiles, mask, label in loader:
-            summary = helpers.activation_summary(
+            # one taps forward feeds both the stats and the grids
+            _, acts = resnet.apply_resnet26(
                 self.state.params["cnn"], tiles[:8],
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, taps=True)
+            summary = helpers.activation_summary(
+                self.state.params["cnn"], tiles[:8], acts=acts)
             for layer, stats in summary.items():
                 print(f"{layer:10s} {stats}")
             grids = helpers.activation_grids(
-                self.state.params["cnn"], tiles[:8],
-                compute_dtype=self.compute_dtype)
+                self.state.params["cnn"], tiles[:8], acts=acts)
             for layer, grid in grids.items():
                 helpers.plot_activations(
                     grid, os.path.join(self.output_dir,

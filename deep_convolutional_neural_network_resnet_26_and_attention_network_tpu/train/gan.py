@@ -37,9 +37,12 @@ STEP_BATCH_SIZE = {4: 256, 8: 256, 16: 256, 32: 256, 64: 256, 128: 128,
                    256: 128, 512: 100}  # reference: train.py:61
 
 
-def make_optimizers(lr: float):
+def make_optimizers(lr: float = 0.001):
     """Adam(0.0, 0.99); the style-MLP group trains at lr*0.01
-    (reference: train.py:279-291)."""
+    (reference: train.py:279-291). ``lr`` is NOT baked into the
+    transform — scale_by_adam is scale-free and the steps apply
+    -lr*update per call so the per-resolution schedule never retraces;
+    the argument exists for signature familiarity only."""
     return optax.scale_by_adam(b1=0.0, b2=0.99)
 
 
@@ -60,6 +63,11 @@ def accumulate(ema_params, params, decay: float = 0.999):
 
 def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
                 loss_kind: str = "wgan-gp", tx=None):
+    """``loss_kind`` only switches the GENERATOR objective: the vendored
+    reference has no discriminator-side r1 branch (train.py:99-132 guards
+    every D term with ``loss == 'wgan-gp'``; only the G loss at :150-153
+    switches to softplus) — under --loss r1 the reference's D trains with
+    the WGAN-GP critic loss, and we keep that quirk for parity."""
     tx = tx or make_optimizers(0.001)
 
     def d_loss_fn(params_d, params_g, real, zs, sel, alpha, rng):
@@ -171,8 +179,17 @@ def save_gan_checkpoint(path, params_g, params_d, opt_g, opt_d, g_running):
 
     buf = io.BytesIO()
     np.savez(buf, **blob)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    # atomic like checkpoint.save: a kill mid-write must not leave a
+    # truncated 5-part checkpoint for --ckpt resume to trip over
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, path)
+    except OSError:
+        if os.path.isfile(tmp):
+            os.unlink(tmp)
+        raise
     return path
 
 
@@ -311,6 +328,10 @@ def train_gan(args):
             )
         d_step, g_step = step_fns[step]
 
+        # used_sample (and with it the alpha fade-in) resets EVERY epoch,
+        # exactly like the vendored reference (train.py:80 zeroes it inside
+        # the per-epoch train()); with step_every > 1 the blend saw-tooths
+        # within a resolution phase — reference behavior, kept for parity
         used_sample = 0
         alpha = 1.0
         disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)

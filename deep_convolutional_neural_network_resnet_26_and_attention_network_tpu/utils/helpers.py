@@ -70,11 +70,15 @@ def get_layer_weight_summary_max(params) -> dict:
 # ----------------------------------------------------------- activations
 
 
-def activation_summary(cnn_params, tiles, *, compute_dtype=None) -> dict:
+def activation_summary(cnn_params, tiles, *, compute_dtype=None,
+                       acts=None) -> dict:
     """Layer -> activation stats for a stack of tiles: the explicit-return
-    replacement for prime_activation_summary's forward hooks."""
-    _, acts = resnet.apply_resnet26(cnn_params, tiles,
-                                    compute_dtype=compute_dtype, taps=True)
+    replacement for prime_activation_summary's forward hooks. ``acts``
+    reuses a previous forward's taps dict (see activation_grids)."""
+    if acts is None:
+        _, acts = resnet.apply_resnet26(cnn_params, tiles,
+                                        compute_dtype=compute_dtype,
+                                        taps=True)
     out = {}
     for name, a in acts.items():
         a = np.asarray(a, np.float32)
@@ -89,11 +93,16 @@ def activation_summary(cnn_params, tiles, *, compute_dtype=None) -> dict:
     return out
 
 
-def activation_grids(cnn_params, tiles, *, compute_dtype=None) -> dict:
+def activation_grids(cnn_params, tiles, *, compute_dtype=None,
+                     acts=None) -> dict:
     """Layer -> [C, h, w] mean-over-batch feature maps (prime_activation_vis
-    equivalent); feed to plot_activations."""
-    _, acts = resnet.apply_resnet26(cnn_params, tiles,
-                                    compute_dtype=compute_dtype, taps=True)
+    equivalent); feed to plot_activations. Pass ``acts`` (the taps dict
+    from a previous forward) to avoid re-running the extractor when
+    activation_summary already ran on the same tiles."""
+    if acts is None:
+        _, acts = resnet.apply_resnet26(cnn_params, tiles,
+                                        compute_dtype=compute_dtype,
+                                        taps=True)
     grids = {}
     for name, a in acts.items():
         a = np.asarray(a, np.float32)

@@ -91,8 +91,10 @@ def plot_gbm_metrics(path: str, tag: str = "TEST", show: bool = False):
 
 
 def plot_prediction_summary(epoch: int, output_dir: str, preds, labels):
-    """Per-slide class-probability bars colored by correctness
-    (reference: gbm/plot_coef_metrics.py:61-92)."""
+    """Per-slide class-probability bars; each slide's TRUE-class bar is
+    green, the others red — so a tall green bar reads as a correct
+    confident prediction (exact coloring of the reference,
+    gbm/plot_coef_metrics.py:74-76: np.where(labels == k, 'g', 'r'))."""
     preds = np.asarray(preds)
     labels = np.asarray(labels)
     plt.figure(figsize=(24, 4))
@@ -129,7 +131,7 @@ def plot_roc(path: str, tag: str = "TEST", show: bool = False,
 
     files = sorted(glob.glob(os.path.join(path, "*predictions.json")))
     if not files:
-        return []
+        return [], []  # same 2-tuple shape as the non-empty return
     cmap_lin = cm.rainbow(np.linspace(0, 1, len(files)))
     aucs = []
     plt.figure(figsize=(8, 8))
