@@ -74,7 +74,7 @@ class CellImageDataset:
             image = cv2.bitwise_and(raw, raw, mask=cell)
             image = cv2.bitwise_and(image, image, mask=nucl)
             self.data_store.append(image)
-            if len(self.data_store) > self.max_size:
+            if len(self.data_store) >= self.max_size:
                 break
 
     def __len__(self):
@@ -89,7 +89,10 @@ class CellImageDataset:
 
 def parse_coords_from_name(img_name: str):
     """Center coordinates from 'x_y_w_h'-style filename digits
-    (reference: Datasets.py:113-120)."""
+    (reference: Datasets.py:113-120). The regex is the reference's own —
+    note its quirk: each number needs >= 2 digits, so a single-digit
+    field drops a match and the function returns (0, 0) silently, exactly
+    like the original (their filename convention always emits >= 2)."""
     nums = re.findall(r"(\d+[.]?\d+)", img_name.split(os.sep)[-1])
     if len(nums) == 5:
         x = int(float(nums[1])) + 0.5 * int(float(nums[3]))
@@ -124,6 +127,8 @@ class CellImageDatasetHE:
         crop_i, crop_r, _ = RandomCrop2X(
             64, pad_if_needed=True,
             seed=self._rng.randint(0, 2**31 - 1)).Execute(image, raw)
+        if self.transform:
+            crop_i, crop_r = self.transform(crop_i), self.transform(crop_r)
         return {"image": _finalize(crop_i), "raw": _finalize(crop_r),
                 "xy": self.coord_store[idx]}
 
@@ -134,6 +139,7 @@ class CellImageDatasetRandomSpot:
 
     def __init__(self, root_glob, transform=None, size=1024, seed=None):
         self.n_randomsamples = size
+        self.transform = transform
         self.data_store, self.data_raw = [], []
         self._rng = random.Random(seed)
         for img_name in glob.glob(root_glob):
@@ -156,6 +162,8 @@ class CellImageDatasetRandomSpot:
         while _stddev_r(raw) < 5 and tries < 100:
             image, raw, coord = cropper.Execute(image_full, raw_full)
             tries += 1
+        if self.transform:
+            image, raw = self.transform(image), self.transform(raw)
         return _finalize(raw), _finalize(image), np.asarray(coord, np.float32)
 
 
@@ -169,6 +177,7 @@ class IHCMixedBagDataset:
         import pandas as pd
 
         self.mini_batch_size = mini_batch_size
+        self.transform = transform
         self._rng = random.Random(seed)
         self.data_raw_rgb, self.data_raw_dab, self.data_raw_out = [], [], []
 
@@ -201,6 +210,8 @@ class IHCMixedBagDataset:
             while _stddev_r(rgb) < 2 and tries < 100:
                 dab, rgb, coord = cropper.Execute(dab_full, rgb_full)
                 tries += 1
+            if self.transform:
+                dab, rgb = self.transform(dab), self.transform(rgb)
             rgb_tiles.append(_finalize(rgb))
             dab_tiles.append(_finalize(dab))
             coords.append(np.asarray(coord, np.float32))

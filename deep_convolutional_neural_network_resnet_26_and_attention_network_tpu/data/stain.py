@@ -7,8 +7,11 @@ vectorized so it also jits on device):
 
   stains = (ln(max(rgb, 1e-6)) / ln(1e-6)) @ inv(rgb_from_hed)
 
-with the standard H&E-DAB stain matrix. ``rgb_from_hed`` is the inverse
-used by the RBGtoHEres layer (reference: nnBlocks.py:281-293).
+with the standard H&E-DAB stain matrix (modern skimage semantics for the
+public rgb2hed/hed2rgb pair; the DAB extraction uses the 2019-era math the
+reference actually ran — see _rgb2hed_2019). The RBGtoHEres layer
+(reference: nnBlocks.py:281-293) hardcodes its own different fixed matrix;
+see models/blocks.py.
 """
 
 import numpy as np
@@ -51,9 +54,21 @@ def rescale_intensity(img, in_range, out_range=(0.0, 1.0)):
     return (x - lo) / (hi - lo) * (ohi - olo) + olo
 
 
+def _rgb2hed_2019(rgb):
+    """The skimage-of-2019 separate_stains math the reference ran:
+    ``-log10(rgb + 2) @ hed_from_rgb`` (no 1/log(1e-6) normalization).
+    Outputs are NEGATIVE, in roughly [-0.48, -0.30] — exactly the window
+    the reference's rescale_intensity in_range=(-0.45, -0.3) targets.
+    The modern :func:`rgb2hed` returns non-negative stains; feeding those
+    through the legacy window saturates the plane to a constant 1.0."""
+    rgb = np.asarray(rgb, np.float64) + 2.0
+    return (-np.log10(rgb)) @ HED_FROM_RGB
+
+
 def dab_channel(img_u8, in_range=(-0.45, -0.3)):
     """uint8 RGB image -> float32 DAB-density plane in [0, 1] — the exact
-    extraction the IHC datasets perform (reference: Datasets.py:122-134)."""
-    hed = rgb2hed(img_as_float(img_u8))
+    extraction the IHC datasets perform (reference: Datasets.py:122-134),
+    using the 2019-era stain math its in_range was calibrated for."""
+    hed = _rgb2hed_2019(img_as_float(img_u8))
     return rescale_intensity(np.float32(hed)[..., 2], in_range).astype(
         np.float32)

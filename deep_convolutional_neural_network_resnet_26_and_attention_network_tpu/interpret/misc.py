@@ -44,8 +44,6 @@ def apply_colormap_on_image(org_im_u8, activation, colormap_name="hsv",
 
     color_map = matplotlib.colormaps[colormap_name]
     heatmap = color_map(normalize_01(activation))
-    overlay = heatmap.copy()
-    overlay[..., 3] = alpha
     org = np.asarray(org_im_u8, np.float64) / 255.0
     blended = (1 - alpha) * org + alpha * heatmap[..., :3]
     return ((heatmap * 255).astype(np.uint8),

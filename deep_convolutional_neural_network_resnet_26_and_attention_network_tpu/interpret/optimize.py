@@ -16,13 +16,19 @@ from . import misc
 
 
 def _ascend(loss_fn, x0, *, steps: int, lr: float):
-    """Gradient DEscent on loss_fn (losses are negated objectives)."""
-    grad_fn = jax.jit(jax.grad(loss_fn))
+    """Gradient DEscent on loss_fn (losses are negated objectives).
+
+    One jitted value_and_grad per step: a separate eager loss_fn(x) call
+    just to record history would re-run the whole un-jitted forward and
+    dominate the cost. History records the loss at the pre-step x (the
+    reference logs at the same point)."""
+    vg_fn = jax.jit(jax.value_and_grad(loss_fn))
     x = jnp.asarray(x0)
     history = []
     for i in range(steps):
-        x = x - lr * grad_fn(x)
-        history.append(float(loss_fn(x)))
+        val, g = vg_fn(x)
+        x = x - lr * g
+        history.append(float(val))
     return x, history
 
 

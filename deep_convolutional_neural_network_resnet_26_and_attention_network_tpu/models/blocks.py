@@ -37,7 +37,11 @@ def zero_dropout(x, p, rng, *, train: bool):
 
 
 # ------------------------------------------------------------ RBGtoHEres
-# skimage rgb_from_hed matrix (reference: nnBlocks.py:283-287).
+# The reference's hardcoded 3x3 stain matrix, copied value-for-value
+# (reference: nnBlocks.py:283-287). Despite the reference's variable name
+# ('w_rgb_from_hed') it is NOT skimage's rgb_from_hed — numerically it is
+# closest to an H-DAB deconvolution (skimage hdx_from_rgb, transposed) and
+# is unrelated to data/stain.py's standard HED matrices.
 # Kept as numpy so importing the package performs zero device ops: a
 # module-level jnp.array would materialize on the default backend at import
 # time and break CPU-only dry runs on hosts with an unhealthy TPU stack.

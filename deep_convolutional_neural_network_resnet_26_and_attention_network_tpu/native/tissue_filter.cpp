@@ -26,11 +26,17 @@ void tissue_mask(const uint8_t* img, int64_t H, int64_t W,
     for (int64_t t = 0; t < n_coords; ++t) {
         const int64_t r0 = coords[2 * t];
         const int64_t c0 = coords[2 * t + 1];
+        // clamp to the image like numpy slicing (the Python fallback
+        // degrades to a short tile at the border; reading past the
+        // buffer here would be UB/garbage keep flags)
+        if (r0 < 0 || c0 < 0 || r0 >= H || c0 >= W) { keep[t] = 0; continue; }
+        const int64_t rows = (r0 + roi <= H) ? roi : (H - r0);
+        const int64_t cols = (c0 + roi <= W) ? roi : (W - c0);
         double sum_r = 0.0, sum_r2 = 0.0;
         int64_t n_pass = 0;
-        for (int64_t r = 0; r < roi; ++r) {
+        for (int64_t r = 0; r < rows; ++r) {
             const uint8_t* row = img + ((r0 + r) * W + c0) * 3;
-            for (int64_t c = 0; c < roi; ++c) {
+            for (int64_t c = 0; c < cols; ++c) {
                 const double rr = row[3 * c];
                 const double gg = row[3 * c + 1];
                 const double bb = row[3 * c + 2];
@@ -58,7 +64,9 @@ void tissue_mask(const uint8_t* img, int64_t H, int64_t W,
                 if (h > hue_min) ++n_pass;
             }
         }
-        const double n = static_cast<double>(roi * roi);
+        // population stats over the pixels actually read (short border
+        // tiles match the Python fallback's numpy-slice semantics)
+        const double n = static_cast<double>(rows * cols);
         const double var = sum_r2 / n - (sum_r / n) * (sum_r / n);
         const double stddev = var > 0.0 ? std::sqrt(var) : 0.0;
         keep[t] = (stddev > stddev_min && n_pass > min_pixels) ? 1 : 0;
@@ -76,10 +84,24 @@ void gather_tiles(const uint8_t* img, int64_t H, int64_t W,
         const int64_t r0 = coords[2 * t];
         const int64_t c0 = coords[2 * t + 1];
         uint8_t* dst = out + t * roi * roi * 3;
-        for (int64_t r = 0; r < roi; ++r) {
-            const uint8_t* src = img + ((r0 + r) * W + c0) * 3;
-            std::memcpy(dst + r * tile_bytes, src, tile_bytes);
+        // out-of-range regions zero-fill instead of reading past the
+        // image buffer (border tiles / bad coords)
+        if (r0 < 0 || c0 < 0 || r0 >= H || c0 >= W) {
+            std::memset(dst, 0, roi * roi * 3);
+            continue;
         }
+        const int64_t rows = (r0 + roi <= H) ? roi : (H - r0);
+        const int64_t cols = (c0 + roi <= W) ? roi : (W - c0);
+        const int64_t row_bytes = cols * 3;
+        for (int64_t r = 0; r < rows; ++r) {
+            const uint8_t* src = img + ((r0 + r) * W + c0) * 3;
+            std::memcpy(dst + r * tile_bytes, src, row_bytes);
+            if (row_bytes < tile_bytes)
+                std::memset(dst + r * tile_bytes + row_bytes, 0,
+                            tile_bytes - row_bytes);
+        }
+        for (int64_t r = rows; r < roi; ++r)
+            std::memset(dst + r * tile_bytes, 0, tile_bytes);
     }
 }
 

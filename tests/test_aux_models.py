@@ -256,3 +256,20 @@ def test_ihc_mixed_bag_dataset(ihc_tree, tmp_path):
     assert rgb.shape == (4, 256, 256, 3)
     assert dab.shape == (4, 256, 256, 1)
     assert coords.shape == (4, 2) and labels.shape == (4, 1)
+
+
+def test_dab_channel_has_contrast():
+    """Regression: the DAB plane must use the 2019-era stain math its
+    (-0.45, -0.3) rescale window was calibrated for — the modern
+    rgb2hed's non-negative stains all clip to the ceiling and the plane
+    degenerates to a constant 1.0."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        stain,
+    )
+
+    px = np.array([[[255, 255, 255], [30, 30, 120], [140, 90, 30],
+                    [200, 160, 120]]], np.uint8)
+    d = stain.dab_channel(px)
+    assert d.shape == (1, 4)
+    assert d.min() < 0.4 and d.max() > 0.6  # white bg low, DAB brown high
+    assert len(np.unique(np.round(d, 3))) >= 3
