@@ -29,21 +29,23 @@ def openslide_eligible(path: str) -> bool:
     if _openslide is None:
         return False
     try:
-        _openslide.OpenSlide(path)
+        _openslide.OpenSlide(path).close()
         return True
     except Exception:
         return False
 
 
 def _read_tifffile(path: str) -> np.ndarray:
-    """Largest-series TIFF read (reference: RoiBuilder.py:139-147)."""
-    tf = _tifffile.TiffFile(path)
-    biggest, target = 0, 0
-    for i in range(len(tf.series)):
-        size = int(np.prod(tf.series[i].shape))
-        if size > biggest:
-            biggest, target = size, i
-    return np.asarray(_tifffile.imread(path, series=target))
+    """Largest-series TIFF read (reference: RoiBuilder.py:139-147).
+    One parse, handle closed — a cohort sweep must not leak an fd (and
+    re-parse the multi-GB container) per slide."""
+    with _tifffile.TiffFile(path) as tf:
+        biggest, target = 0, 0
+        for i in range(len(tf.series)):
+            size = int(np.prod(tf.series[i].shape))
+            if size > biggest:
+                biggest, target = size, i
+        return np.asarray(tf.series[target].asarray())
 
 
 def _read_pil(path: str) -> np.ndarray:
@@ -79,9 +81,12 @@ def read_slide(path: str) -> np.ndarray:
     if _openslide is not None:
         try:
             sl = _openslide.OpenSlide(path)
-            w, h = sl.level_dimensions[0]
-            img = sl.read_region((0, 0), 0, (w, h)).convert("RGB")
-            return np.asarray(img)
+            try:
+                w, h = sl.level_dimensions[0]
+                img = sl.read_region((0, 0), 0, (w, h)).convert("RGB")
+                return np.asarray(img)
+            finally:
+                sl.close()
         except Exception:
             pass
     return _read_pil(path)

@@ -24,8 +24,7 @@ def smote_layer(x, rng, epsilon: float = 0.005):
 
 
 def init_cluster_layer(key, n_clusters: int, dim: int = 16 * 8):
-    return {"centers": I.linear_xavier_normal(key, n_clusters, dim)
-            .reshape(n_clusters, dim)}
+    return {"centers": I.linear_xavier_normal(key, n_clusters, dim)}
 
 
 def apply_cluster_layer(params, x):
@@ -77,8 +76,8 @@ def init_latent_unet(key, *, in_channels=3, out_channels=3, depth=5,
     fcl = {"w": I.linear_kaiming_fan_in(next(ki), flat, latent_dim,
                                         I.leaky_relu_gain(0.1)),
            "b": I.zeros((latent_dim,))}
-    # latent reshapes to [16, s, s] planes (reference: Encoders.py:330)
-    lat_side = int((latent_dim // 16) ** 0.5)
+    # (the latent reshapes to [16, s, s] planes at apply time,
+    # reference: Encoders.py:330)
     bottle_out = _conv_p(next(ki), 1, 16, outs)
     up = []
     ins = outs
@@ -166,7 +165,12 @@ def apply_latent_unet(params, x, *, rng=None, perturbation=False,
     lat_side = int((latent_dim // 16) ** 0.5)
     latent = latent_flat.reshape(-1, lat_side, lat_side, 16)
     decoder_in = encoder_tap
-    if perturbation and rng is not None:
+    # the reference jitters the encoder TAP, not the latent (its latent
+    # variant is commented out, Encoders.py:337-338) — and at its own
+    # hardcoded concat_layer = -1 every up block merges 'skip', so the
+    # jittered tap is never consumed: SMOTE is a no-op at default
+    # arguments THERE TOO. Kept faithfully; guard the tap-less case.
+    if perturbation and rng is not None and decoder_in is not None:
         decoder_in = smote_layer(decoder_in, rng)
     g = batch_norm_2d(jnp.maximum(
         N.conv2d(latent, params["bottle_out"]["w"],

@@ -104,7 +104,18 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     the mesh size."""
     if builder.params.get("resolution") != resolution:
         builder.update_resolution_and_buffer(resolution)
-    raw, coords = builder._load_cache(with_coords=True)
+    # mmap: the whole point is unbounded slides — an eager np.load of a
+    # 50k-tile 1200px cache is ~200 GB of host RAM; the chunk loop below
+    # copies one slice at a time off the map
+    raw, coords = builder._load_cache(with_coords=True, mmap=True)
+    if raw.shape[0] == 0:
+        # same degenerate-slide zeros fallback as every other cache
+        # consumer — one tile-less slide must not sink a sweep
+        from ..data.roibuilder import EMPTY_BAG_TILES
+
+        rs = builder.params["roi_size"]
+        raw = np.zeros((EMPTY_BAG_TILES, rs, rs, 3), np.uint8)
+        coords = np.zeros((0, 2), np.int64)
 
     extract = _cached_transform_extract(cfg, compute_dtype, resolution)
 
@@ -129,13 +140,17 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
 
     feats = []
     for start in range(0, raw.shape[0], chunk):
-        part = raw[start:start + chunk]
+        part = np.asarray(raw[start:start + chunk])
         valid = part.shape[0]
         if valid < chunk:
             part = np.pad(part, [(0, chunk - valid)] + [(0, 0)] * 3)
-        part = jnp.asarray(part)
         if part_sharding is not None:
+            # shard the HOST buffer in one transfer — jnp.asarray first
+            # would commit the whole chunk to device 0 and then reshard
+            # device-to-device, doubling the traffic of the hot loop
             part = jax.device_put(part, part_sharding)
+        else:
+            part = jnp.asarray(part)
         # uint8 H2D (4x less transfer) + transform + extract in one program
         feats.append(extract(cnn, part)[:valid])
     H = jnp.concatenate(feats, axis=0)
@@ -188,11 +203,13 @@ def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
     """bags: list of [T_i, H, W, 3] arrays. Pads all bags to one static
     tile count (max bucket, rounded to the tile-mesh axis) and runs one
     sharded batched forward. Returns probs [B, C]."""
+    from ..data.loader import bucket_for
+
     multiple = mesh.shape[M.TILES_AXIS] if mesh is not None else 1
-    target = n_tiles or max(
-        int(np.ceil(b.shape[0] / max(multiple, 1))) * max(multiple, 1)
-        for b in bags)
-    target = int(np.ceil(target / max(multiple, 1))) * max(multiple, 1)
+    # bucketed target: exact max-size padding would compile a fresh
+    # program per distinct cohort; the bucket ladder keeps shapes stable
+    target = n_tiles or bucket_for(max(b.shape[0] for b in bags),
+                                   multiple_of=max(multiple, 1))
     tiles, masks = [], []
     for b in bags:
         t, m = pad_bag(jnp.asarray(b), n_tiles=target)
@@ -200,6 +217,13 @@ def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
         masks.append(m)
     tiles = jnp.stack(tiles)
     masks = jnp.stack(masks)
-    infer = make_batched_infer(cfg, mesh, compute_dtype=compute_dtype)
-    outs = infer(params, tiles, masks)
+    # cache the compiled forward per (cfg, dtype, mesh) — a fresh
+    # make_batched_infer per call would retrace+recompile every time
+    # (the module-header invariant)
+    key = ("batched_infer", cfg, str(compute_dtype),
+           None if mesh is None else id(mesh))
+    if key not in _FWD_CACHE:
+        _FWD_CACHE[key] = make_batched_infer(cfg, mesh,
+                                             compute_dtype=compute_dtype)
+    outs = _FWD_CACHE[key](params, tiles, masks)
     return np.asarray(outs["y_pred"]).reshape(len(bags), -1), outs

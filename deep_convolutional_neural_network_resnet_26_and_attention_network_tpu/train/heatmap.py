@@ -98,10 +98,14 @@ def create_map(name, epoch, step, img_data, raster, A, F, M, *,
     from matplotlib.collections import PatchCollection
 
     for panel, w, alpha in zip(panels, weights, alphas):
-        keep = w > 0.0
+        # draw EVERY tile like the reference's per-tile loop
+        # (gbm/classify_combined.py:186-203): the global-minimum tile has
+        # w == 0 after min-max normalization and jet(0) is dark blue —
+        # filtering w > 0 would leave white holes (and a uniform-attention
+        # slide would render no rectangles at all)
         rects = [patches.Rectangle((c, r - s), s, s)
-                 for r, c in zip(rows[keep], cols[keep])]
-        colors = cmap_lin[np.minimum(w[keep].astype(int), 104)]
+                 for r, c in zip(rows, cols)]
+        colors = cmap_lin[np.minimum(w.astype(int), 104)]
         panel.add_collection(PatchCollection(
             rects, facecolors=colors, alpha=alpha, linewidth=1))
 
