@@ -125,9 +125,13 @@ def from_torch_state_dict(params, state_dict):
             block = int(parts[1])
             leaf = parts[2]
             tgt = out["layers"][stage][block]
-            if leaf in ("conv1", "conv2"):
+            if leaf in ("conv1", "conv2") and v.ndim == 4:
                 tgt[leaf]["w"] = jnp.asarray(v.transpose(2, 3, 1, 0))
-            elif leaf == "downsample":
+            elif leaf == "downsample" and v.ndim == 4:
+                # torchvision's 'layer*.downsample.0.weight' is the 1x1
+                # conv; '.downsample.1.*' are BatchNorm vectors (1-D) —
+                # this no-norm variant takes only the conv, and the old
+                # unconditional 4-axis transpose crashed on the BN keys
                 tgt["downsample"]["w"] = jnp.asarray(v.transpose(2, 3, 1, 0))
             else:
                 continue

@@ -39,6 +39,13 @@ def apply_disc_extractor(params, tiles, *, step: int,
     """
     layout, _ = sg._disc_layout(width_mult)
     n_layer = len(layout)
+    if not 0 <= step < n_layer:
+        raise ValueError(
+            f"step {step} out of range for a {n_layer}-block discriminator "
+            f"(max resolution {4 * 2 ** (n_layer - 1)}px)")
+    if cutoff < 1:
+        raise ValueError(f"cutoff must be >= 1 (got {cutoff}): at least "
+                         "one discriminator block must run")
     out = None
     stop_at = step - cutoff
     for i in range(step, max(stop_at, -1), -1):

@@ -1,10 +1,13 @@
-"""NHWC NN primitives with a bf16-compute / fp32-accumulate dtype policy.
+"""NHWC NN primitives with a bf16 compute-dtype policy.
 
 Everything here is a pure function over explicit parameters so that it
 composes with jit/vmap/shardings. Conv and matmul cast operands to the
-requested ``compute_dtype`` (bfloat16 on TPU for MXU throughput) while
-accumulating in float32 (``preferred_element_type``); biases and
-normalizations stay in float32.
+requested ``compute_dtype`` (bfloat16 on TPU for MXU throughput); the MXU
+accumulates bf16 operands in f32 internally, but OUTPUTS stay in the
+compute dtype (no ``preferred_element_type`` — see the note in conv2d:
+forcing f32 results doubles inter-op HBM traffic and breaks the conv VJP
+under mixed bf16/f32 cotangents) and biases are cast to the output dtype
+at the add. Reductions/normalizations in the model run in float32.
 """
 
 from functools import partial

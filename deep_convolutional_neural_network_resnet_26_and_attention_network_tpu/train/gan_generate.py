@@ -3,8 +3,9 @@
 Mirrors the reference's generate.py (reference:
 style-based-gan-pytorch-master-512/generate.py:1-100): mean-style
 truncation at weight 0.7, an n_row x n_col sample grid, and 20 style-mixing
-grids where target codes drive the first two blocks (mixing_range=(0,1))
-and source codes the rest.
+grids where the SOURCE code drives the first two blocks
+(mixing_range=(0, 1)) and the target code drives the rest — see the sel
+construction in style_mixing_grid.
 """
 
 import argparse
@@ -18,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import stylegan as sg
-from .gan import load_gan_checkpoint, make_optimizers, save_image_grid
+from .gan import restore_section, save_image_grid
 
 
 def get_mean_style(params_g, rng, *, code_size=512):
@@ -44,9 +45,9 @@ def sample(params_g, rng, step, mean_style_w, n_sample, *, code_size=512,
 
 def style_mixing(params_g, rng, step, mean_style_w, n_source, n_target, *,
                  code_size=512, width_mult=1.0):
-    """Source/target mixing grid: target styles drive blocks 0-1
-    (mixing_range=(0,1)), source styles the rest
-    (reference: generate.py:38-71)."""
+    """Source/target mixing grid: SOURCE styles drive blocks 0-1
+    (mixing_range=(0,1)), the target style the rest
+    (reference: generate.py:38-71; see the sel comment below)."""
     k_src, k_tgt, k_n = jax.random.split(rng, 3)
     source = jax.random.normal(k_src, (n_source, code_size))
     target = jax.random.normal(k_tgt, (n_target, code_size))
@@ -95,17 +96,19 @@ def main(argv=None):
     k_init, k_mean, k_sample, rng = jax.random.split(rng, 4)
     params_g = sg.init_styled_generator(k_init, style_dim=args.code_size,
                                         width_mult=args.width_mult)
-    tx = make_optimizers(0.001)
-    opt = tx.init(params_g)
-    dummy_d = {"progression": [], "from_rgb": [],
-               "linear": {"w": jnp.zeros((1, 1)), "b": jnp.zeros((1,))}}
-    # checkpoints store g_running — restore it as the sampling generator
+    # sampling needs ONLY the g_running (EMA) section — restoring all 5
+    # sections through dummy templates printed misleading 'RANDOM init'
+    # warnings for sections this script never uses, and read the file twice
     with np.load(args.path, allow_pickle=False) as z:
-        keys = [k for k in z.files if k.startswith("g_running/")]
-        if not keys:
-            raise ValueError(f"{args.path} has no g_running section")
-    _, _, _, _, params_g = load_gan_checkpoint(
-        args.path, params_g, dummy_d, opt, opt, params_g)
+        blob = {k: z[k] for k in z.files if k.startswith("g_running/")}
+    if not blob:
+        raise ValueError(f"{args.path} has no g_running section")
+    params_g, loaded, total = restore_section(params_g, blob, "g_running")
+    print(f"Loaded g_running from {args.path}: {loaded}/{total} tensors")
+    if loaded < total:
+        print(f"WARNING: {total - loaded} generator tensors missing or "
+              "shape-mismatched (check --width_mult/--code_size match the "
+              "GAN run); those layers keep RANDOM init weights")
 
     mean_w = get_mean_style(params_g, k_mean, code_size=args.code_size)
     step = int(math.log(args.size, 2)) - 2

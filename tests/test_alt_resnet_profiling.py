@@ -171,3 +171,27 @@ def test_from_pretrained_offline_error_and_delegation(monkeypatch):
     out, loaded = alt_resnet.from_pretrained(params, "resnet18")
     assert loaded == ["conv1.weight"]
     assert float(np.abs(np.asarray(out["conv1"]["w"])).max()) == 0.0
+
+
+def test_from_torch_state_dict_skips_downsample_batchnorm():
+    """torchvision state dicts carry 'layer*.downsample.1.*' BatchNorm
+    vectors next to the '.downsample.0.weight' conv; the converter must
+    take only the 4-D conv (regression: the unconditional transpose
+    crashed on every real torchvision checkpoint)."""
+    params = alt_resnet.init_resnet(jax.random.PRNGKey(0), [2, 2, 2, 2])
+    stage, block = 1, 0  # first downsampling block
+    w = np.asarray(params["layers"][stage][block]["downsample"]["w"])
+    conv = np.random.default_rng(0).standard_normal(
+        w.transpose(3, 2, 0, 1).shape).astype(np.float32)
+    sd = {
+        "layer2.0.downsample.0.weight": conv,
+        "layer2.0.downsample.1.weight": np.ones((w.shape[-1],), np.float32),
+        "layer2.0.downsample.1.bias": np.zeros((w.shape[-1],), np.float32),
+        "layer2.0.downsample.1.running_mean":
+            np.zeros((w.shape[-1],), np.float32),
+    }
+    restored, loaded = alt_resnet.from_torch_state_dict(params, sd)
+    assert loaded == ["layer2.0.downsample.0.weight"]
+    np.testing.assert_array_equal(
+        np.asarray(restored["layers"][stage][block]["downsample"]["w"]),
+        conv.transpose(2, 3, 1, 0))
