@@ -77,6 +77,9 @@ def build_argparser():
                         "(the reference's DataLoader num_workers)")
     p.add_argument("--arch", default="full", choices=["full", "tiny"],
                    help="tiny = smoke-test model (CI/CPU)")
+    p.add_argument("--stem", default="conv7", choices=["conv7", "s2d"],
+                   help="s2d = space-to-depth stem fast path (identical "
+                        "math; measured neutral on v5e — PROFILE.md)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--f32", action="store_true",
                    help="disable bf16 conv/matmul compute")
@@ -101,10 +104,11 @@ def build_argparser():
 def make_config(args, class_weights=None) -> amil.MILConfig:
     cw = tuple(class_weights) if class_weights is not None else None
     remat = getattr(args, "remat", False)
+    stem = getattr(args, "stem", "conv7")
     if args.arch == "tiny":
         return amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1),
-                              class_weights=cw, remat=remat)
-    return amil.MILConfig(class_weights=cw, remat=remat)
+                              class_weights=cw, remat=remat, stem=stem)
+    return amil.MILConfig(class_weights=cw, remat=remat, stem=stem)
 
 
 class Driver:
