@@ -58,6 +58,13 @@ class ImageFolderDataset:
         self.resolution = int(image_size)
         self.batch_size = int(batch_size)
 
+    def reseed(self, *entropy: int):
+        """Pin the shuffle/sampling rng to (entropy...) — the GAN trainer
+        calls this per (seed, epoch) so a resumed run replays the exact
+        batch order of the uninterrupted run (bit-exact resume)."""
+        self._rng = np.random.default_rng(np.random.SeedSequence(
+            list(entropy)))
+
     def _load(self, path: str) -> np.ndarray:
         if path.lower().endswith(".npy"):
             arr = np.load(path, mmap_mode="r")
@@ -232,6 +239,13 @@ class MultiResolutionStore:
                 "rebuild with MultiResolutionStore.build(...)")
         self.resolution = image_size
         self.batch_size = int(batch_size)
+
+    def reseed(self, *entropy: int):
+        """Pin the shuffle/sampling rng to (entropy...) — the GAN trainer
+        calls this per (seed, epoch) so a resumed run replays the exact
+        batch order of the uninterrupted run (bit-exact resume)."""
+        self._rng = np.random.default_rng(np.random.SeedSequence(
+            list(entropy)))
 
     def _memmap(self, res: int):
         if res not in self._maps:

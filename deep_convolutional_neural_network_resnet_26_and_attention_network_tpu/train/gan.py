@@ -316,6 +316,16 @@ def train_gan(args):
         batch = args.batch_override or STEP_BATCH_SIZE.get(resolution, 32)
         lr = lr_sched.get(resolution, args.lr)
         dataset.NewResolution(resolution, batch)
+        # epoch-derived streams — the same bit-exact-resume recipe as the
+        # classifier (train/classify.py::epoch_key): batch order, style
+        # mixing coin flips/crossovers, and every jax key for epoch E are
+        # pure functions of (seed, E), so resuming from the epoch E-1
+        # checkpoint replays epoch E exactly
+        if hasattr(dataset, "reseed"):
+            dataset.reseed(args.seed, epoch)
+        # plain arithmetic, not hash(): str hashing is salted per process
+        py_rng = py_random.Random(args.seed * 1_000_003 + epoch * 7919 + 1)
+        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
 
         if step not in step_fns:
             step_fns[step] = (

@@ -403,3 +403,41 @@ def test_gan_trainer_profile_flag(image_dir, tmp_path):
     gan.train_gan(args)
     prof = os.path.join(out, "profile")
     assert os.path.isdir(prof) and os.listdir(prof)
+
+
+def test_gan_resume_is_bit_exact(image_dir, tmp_path):
+    """Same elastic-resume guarantee as the classifier: every stochastic
+    stream of GAN epoch E (batch order, style-mixing coin flips, all jax
+    keys) derives from (seed, E), and the 5-part checkpoint carries both
+    optimizer states — so train 0..1 straight vs train 0, stop, resume 1
+    produce BIT-IDENTICAL checkpoints. (init_size == max_size keeps
+    alpha == 1.0 in both runs; at the init resolution a --ckpt resume
+    fades alpha like the reference's `args.ckpt is None` check.)"""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    common = ["--data_dir", image_dir, "--epochs", "2", "--step_every", "1",
+              "--init_size", "4", "--max_size", "4", "--width_mult",
+              str(WM), "--code_size", "32", "--batch_override", "4",
+              "--max_batches", "2", "--phase", "8", "--mixing",
+              "--seed", "11"]
+    out_a = str(tmp_path / "a")
+    gan.train_gan(gan.build_argparser().parse_args(
+        common + ["--output_dir", out_a]))
+
+    out_b = str(tmp_path / "b")
+    first_leg = list(common)
+    first_leg[first_leg.index("--epochs") + 1] = "1"
+    gan.train_gan(gan.build_argparser().parse_args(
+        first_leg + ["--output_dir", out_b]))
+    ck_b0 = os.path.join(out_b, "checkpoint", "train_step-0.model")
+    gan.train_gan(gan.build_argparser().parse_args(
+        common + ["--output_dir", out_b, "--epoch_start", "1",
+                  "--ckpt", ck_b0]))
+
+    a = np.load(os.path.join(out_a, "checkpoint", "train_step-1.model"))
+    b = np.load(os.path.join(out_b, "checkpoint", "train_step-1.model"))
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
