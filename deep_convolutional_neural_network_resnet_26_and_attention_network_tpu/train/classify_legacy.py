@@ -159,14 +159,21 @@ def train_epoch(args, epoch, dataset, state, fns, writer, global_steps):
     grad_fn, _, apply_fn, _ = fns
     print(f"===> TRAIN: Epoch, w1, w2 = {epoch} {args.w1} {args.w2}")
     dataset.train()
-    loader = sample_data(dataset, image_size=args.resolution, shuffle=True)
+    # the live driver's bit-exact-resume recipe (classify.py::epoch_key):
+    # every stochastic stream of epoch E derives from (seed, E)
+    if hasattr(dataset, "reseed_augment"):
+        dataset.reseed_augment(args.seed, epoch)
+    loader_seed = int(np.random.SeedSequence(
+        [args.seed, epoch, 7]).generate_state(1)[0] & 0x7FFFFFFF)
+    loader = sample_data(dataset, image_size=args.resolution, shuffle=True,
+                         seed=loader_seed)
+    ekey = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
     accumulate = steps.make_accumulate()
     grad_acc = steps.zeros_like_grads(state.params)
     count, preds, labels = 0, [], []
     losses = []
     for tiles, mask, label in loader:
-        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed),
-                                 int(state.step) * 10007 + len(labels))
+        rng = jax.random.fold_in(ekey, len(labels))
         outs, grads = grad_fn(state.params, tiles, mask, jnp.int32(label),
                               rng)
         grad_acc = accumulate(grad_acc, grads)
