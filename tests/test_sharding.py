@@ -137,3 +137,40 @@ def test_streaming_inference_sharded_matches_single(tmp_path, monkeypatch):
     np.testing.assert_array_equal(coords, coords_m)
     np.testing.assert_allclose(p_mesh, p_single, atol=1e-6)
     assert outs["Fterm"].shape[0] == builder.getsize()
+
+
+def test_six_device_mesh_with_lcm_bucketing():
+    """Non-power-of-two mesh: a 6-device (1, 6) tile axis needs bags whose
+    tile count is a multiple of 6 — bucket_for's lcm granule provides it —
+    and the sharded eval must still match single-device exactly."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.loader import (
+        bucket_for,
+        pad_bag,
+    )
+
+    mesh = M.make_mesh(6, slides=1)  # all 6 devices on the tile axis
+    mult = mesh.shape[M.TILES_AXIS]
+    assert mesh.devices.size == 6 and mult == 6
+
+    cfg = amil.MILConfig(widths=(4, 4, 4, 4), blocks=(1, 1, 1, 1), L=8, D=4)
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    T_real = 17  # awkward bag size
+    target = bucket_for(T_real, multiple_of=mult)
+    assert target % mult == 0 and target >= T_real
+    bag = jnp.asarray(rng.random((T_real, 16, 16, 3)), jnp.float32)
+    tiles, mask = pad_bag(bag, n_tiles=target)
+    tiles = tiles[None]
+    masks = mask[None]
+    labels = jnp.asarray([1], jnp.int32)
+
+    ev = steps.make_eval_step(cfg)
+    ref = ev(params, tiles, masks, labels)
+    s_tiles, s_masks, s_labels = steps.shard_batch(mesh, tiles, masks,
+                                                   labels)
+    sharded = ev(params, s_tiles, s_masks, s_labels)
+    np.testing.assert_allclose(np.asarray(sharded["y_pred"]),
+                               np.asarray(ref["y_pred"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded["loss"]),
+                               np.asarray(ref["loss"]), atol=1e-6)
