@@ -38,7 +38,12 @@ def bucket_for(n: int, buckets=DEFAULT_BUCKETS, multiple_of: int = 1) -> int:
     The padding is mask-exact; the waste is bounded at granule-1 tiles
     (1023 at multiple_of=1)."""
     for b in buckets:
-        if b >= n and b % multiple_of == 0:
+        if b >= n:
+            # ladder bucket, rounded up to the mesh multiple when the
+            # power-of-two isn't divisible (e.g. a 6-device tile axis:
+            # 32 -> 36, not a jump to the 3072 granule)
+            if b % multiple_of:
+                b += multiple_of - b % multiple_of
             return b
     top = buckets[-1]
     if top % multiple_of:

@@ -615,3 +615,17 @@ def test_build_caches_cli(tmp_path, monkeypatch):
     assert sum(f.startswith("data_") for f in built) == 2
     assert sum(f.startswith("coor_") for f in built) == 2
     assert build_caches.main(argv) == 0  # idempotent: all cached
+
+
+def test_bucket_for_non_pow2_multiple_stays_on_ladder():
+    """A mesh multiple with an odd factor (6-device tile axis) must round
+    the smallest adequate ladder bucket up (32 -> 36), not jump to the
+    3072 lcm granule for a 17-tile bag."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.loader import (
+        bucket_for,
+    )
+
+    assert bucket_for(17, multiple_of=6) == 36
+    assert bucket_for(100, multiple_of=6) == 132  # 128 -> 132
+    assert bucket_for(17, multiple_of=8) == 32    # divisible: unchanged
+    assert bucket_for(17) == 32
