@@ -447,15 +447,23 @@ class Driver:
             roi_size=sample.params["roi_size"], output_dir=self.heat_dir)
 
     # -------------------------------------------------------- interface
+    # above this many tiles, interface mode streams chunks through the
+    # extractor instead of materializing the padded f32 bag on device
+    # (a 50k-tile slide is ~14 GB as one bag — past HBM; the streaming
+    # path keeps only one chunk + the [T, L] features resident)
+    interface_stream_tiles = 4096
+
     def interface(self, epoch: int, dataset):
         """caMicroscope batch-inference mode
         (reference: gbm/classify_combined.py:221-298)."""
         import pandas as pd
 
+        from ..data.loader import pad_bag
+        from ..parallel import inference
+
         print("===> INTERFACING TO CAMICROSCOPE")
         dataset.interface()
-        loader = sample_data(dataset, image_size=self.args.resolution,
-                             shuffle=False)
+        dataset.NewResolution(self.args.resolution)
         out = self.output_dir
         with open(f"{out}/move_images.sh", "w+") as f_tomove, \
                 open(f"{out}/manifest_img.csv", "w+") as f_img, \
@@ -464,7 +472,22 @@ class Driver:
             f_heat.write("path,studyid,clinicaltrialsubjectid,imageid\n")
             predictions, labels = [], []
             ccls, slide_ebs, l_ntiles = {}, {}, []
-            for tiles, mask, label, raster, meta in loader:
+            for idx in range(len(dataset)):
+                builder = dataset.all_builders[idx]
+                meta = builder.getmeta()
+                label = int(np.asarray(meta["outcome_tensor"]).ravel()[0])
+                if builder.getsize() > self.interface_stream_tiles:
+                    _, outs, raster = inference.classify_slide_streaming(
+                        self.state.params, self.cfg, builder,
+                        resolution=self.args.resolution,
+                        compute_dtype=self.compute_dtype)
+                    T = raster.shape[0]
+                else:
+                    tiles, _, raster, _ = dataset[idx]
+                    tiles, mask = pad_bag(tiles)
+                    outs = self.fwd_eval(self.state.params, tiles, mask,
+                                         jnp.int32(label))
+                    T = int(np.asarray(mask).sum())
                 l_ntiles.append(meta["ntiles"])
                 image_name = meta.get("caMIC_image_name", meta["basename"])
                 id_name = meta.get("caMIC_id_name", meta["basename"])
@@ -472,10 +495,6 @@ class Driver:
                 f_img.write(f"{image_name},{study},{id_name},{id_name}\n")
                 f_tomove.write(f"cp '{meta['fullpath']}' "
                                f"{out}/gbm_validation_set/\n")
-
-                outs = self.fwd_eval(self.state.params, tiles, mask,
-                                     jnp.int32(label))
-                T = int(np.asarray(mask).sum())
                 sample_key = meta.get("Sample Name", meta["basename"])
                 ccls[sample_key] = np.append(
                     np.asarray(outs["y_pred"]).ravel(),

@@ -619,3 +619,36 @@ def test_checkpoint_restores_tuple_and_none_pytrees(tmp_path):
     assert ok
     np.testing.assert_array_equal(opt_restored["z_tail"],
                                   np.full((4,), 7.0))
+
+
+def test_interface_streams_oversized_slides(synthetic_tree, tmp_path,
+                                            monkeypatch):
+    """Slides beyond interface_stream_tiles take the streaming path (no
+    full padded bag on device) and must produce the same exports. The
+    threshold is dropped to 1 so every synthetic slide streams; CSVs,
+    manifests, and .dla maps must still appear with finite values."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    monkeypatch.setattr(classify.Driver, "interface_stream_tiles", 1)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "IFS", "--arch", "tiny", "--resolution", "16",
+        "--interface",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32", "--n_vis", "0",
+    ])
+    assert rc == 0
+    iface = out_root / "interface_data"
+    import csv as _csv
+
+    with open(iface / "GBMresult_probs_class.csv") as f:
+        rows = list(_csv.reader(f))
+    assert len(rows) > 1
+    probs = np.asarray([[float(v) for v in r[1:4]] for r in rows[1:]])
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    assert any(f.endswith(".dla") for f in os.listdir(iface))
