@@ -166,6 +166,25 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     return np.asarray(probs).ravel(), outs, coords
 
 
+def streaming_eval_outputs(outs, label, cfg: amil.MILConfig):
+    """Attach the eval-metric keys the bag forward returns (loss / error /
+    KLD) to a streaming pass's outputs, computed from its pooled logits
+    and feature matrix — so validation can consume oversized slides
+    through the streaming path with the same bookkeeping."""
+    from ..ops import loss as L
+
+    H = outs["Fterm"]
+    KLD = 0.5 * jnp.mean(jnp.mean(H.astype(jnp.float32) ** 2, axis=1))
+    weight = (jnp.asarray(cfg.class_weights, jnp.float32)
+              if cfg.class_weights is not None else None)
+    label = jnp.asarray(label, jnp.int32).reshape(())
+    loss = L.smoothed_ce_loss(outs["logits"], label[None],
+                              num_classes=cfg.n_classes,
+                              smoothing=cfg.smoothing, weight=weight)
+    error = 1.0 - (outs["y_pred_hat"] == label).astype(jnp.float32)
+    return {**outs, "loss": loss, "error": error, "KLD": KLD}
+
+
 def make_batched_infer(cfg: amil.MILConfig, mesh=None, *,
                        compute_dtype=jnp.bfloat16):
     """Jitted batched inference fn(params, tiles [B,T,H,W,3], masks [B,T])

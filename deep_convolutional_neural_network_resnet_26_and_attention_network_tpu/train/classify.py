@@ -373,26 +373,43 @@ class Driver:
     # --------------------------------------------------------- validate
     def validate(self, epoch: int, dataset, epoch_stats: dict):
         print(f"===> VALIDATION: Epoch = {epoch}")
+        from ..data.loader import pad_bag
+        from ..parallel import inference
+
         stage = schedule.stage_for_epoch(epoch, test=True)
         dataset.eval()
-        loader = sample_data(dataset, image_size=self.args.resolution,
-                             shuffle=False)
+        dataset.NewResolution(self.args.resolution)
         dev = {k: [] for k in ("loss", "error", "Aterm_mu", "KLD",
                                "y_pred_hat")}
         predvals_dev, labels = [], []
         n = 0
         vkey = self.epoch_key(epoch, validate=True)
-        for tiles, mask, label in loader:
-            # pre-Check stages validate with train-mode stochasticity,
-            # exactly like the reference (SetStage(test=True) only switches
-            # to eval at epoch >= 150; reference: gbm/classify_combined.py:123-134)
-            if stage.train_mode:
-                outs = self.fwd_train(self.state.params, tiles, mask,
-                                      jnp.int32(label),
-                                      jax.random.fold_in(vkey, n))
+        for idx, builder in enumerate(dataset.test_slide_builders):
+            label = int(dataset.test_slide_record[idx])
+            if builder.getsize() > self.interface_stream_tiles:
+                # oversized bag: exact eval-mode streaming (one chunk +
+                # the [T, L] features resident — the padded f32 bag would
+                # blow HBM). Pre-Check train-mode stochasticity is skipped
+                # for these; the reference would simply OOM here.
+                _, souts, _ = inference.classify_slide_streaming(
+                    self.state.params, self.cfg, builder,
+                    resolution=self.args.resolution,
+                    compute_dtype=self.compute_dtype)
+                outs = inference.streaming_eval_outputs(souts, label,
+                                                        self.cfg)
             else:
-                outs = self.fwd_eval(self.state.params, tiles, mask,
-                                     jnp.int32(label))
+                tiles, mask = pad_bag(builder.get_validation_data())
+                # pre-Check stages validate with train-mode stochasticity,
+                # exactly like the reference (SetStage(test=True) only
+                # switches to eval at epoch >= 150; reference:
+                # gbm/classify_combined.py:123-134)
+                if stage.train_mode:
+                    outs = self.fwd_train(self.state.params, tiles, mask,
+                                          jnp.int32(label),
+                                          jax.random.fold_in(vkey, n))
+                else:
+                    outs = self.fwd_eval(self.state.params, tiles, mask,
+                                         jnp.int32(label))
             for k in dev:
                 dev[k].append(outs[k])
             predvals_dev.append(outs["y_pred"].ravel())

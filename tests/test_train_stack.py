@@ -652,3 +652,31 @@ def test_interface_streams_oversized_slides(synthetic_tree, tmp_path,
     probs = np.asarray([[float(v) for v in r[1:4]] for r in rows[1:]])
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
     assert any(f.endswith(".dla") for f in os.listdir(iface))
+
+
+def test_validation_streams_oversized_slides(synthetic_tree, tmp_path,
+                                             monkeypatch):
+    """Validation routes bags above interface_stream_tiles through the
+    streaming path with the same metric keys; summary stats stay finite."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    monkeypatch.setattr(classify.Driver, "interface_stream_tiles", 1)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "VS", "--arch", "tiny", "--resolution", "16",
+        "--test_only", "--epoch_start", "200",  # eval-mode stage
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32",
+    ])
+    assert rc == 0
+    run = out_root / "run_VS"
+    summaries = [f for f in os.listdir(run) if f.endswith("summary.json")]
+    with open(run / summaries[0]) as f:
+        stats = json.load(f)
+    for k in ("valid_loss", "valid_err", "valid_kld", "valid_wsum"):
+        assert np.isfinite(stats[k]), k
