@@ -52,6 +52,14 @@ def bucket_for(n: int, buckets=DEFAULT_BUCKETS, multiple_of: int = 1) -> int:
     return max(top, ((n + granule - 1) // granule) * granule)
 
 
+def epoch_loader_seed(seed: int, epoch: int) -> int:
+    """Deterministic bag-order seed for epoch E — a pure function of
+    (seed, E), shared by every driver so the bit-exact elastic-resume
+    recipe cannot drift between them."""
+    return int(np.random.SeedSequence([seed, epoch, 7])
+               .generate_state(1)[0] & 0x7FFFFFFF)
+
+
 def pad_bag(tiles, n_tiles: int | None = None, *, buckets=DEFAULT_BUCKETS,
             multiple_of: int = 1):
     """Pad [T, ...] to its bucket; returns (padded, mask[T_b])."""
@@ -201,7 +209,8 @@ def prefetch_iter(iterable, *, depth: int = 2, stats: dict | None = None):
             put(e)
         put(stop)
 
-    threading.Thread(target=produce, daemon=True).start()
+    worker = threading.Thread(target=produce, daemon=True)
+    worker.start()
     try:
         while True:
             t0 = time.perf_counter()
@@ -215,6 +224,16 @@ def prefetch_iter(iterable, *, depth: int = 2, stats: dict | None = None):
             yield item
     finally:
         closed.set()
+        # drain + JOIN: an in-flight producer item may still be reading
+        # shared state (e.g. a dataset rng the caller reseeds right after
+        # an early break — the bit-exact-resume recipe); returning before
+        # the thread finishes would let it race the next epoch's stream
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        worker.join(timeout=30.0)
 
 
 def sample_data(dataset, *, image_size: int | None = None,

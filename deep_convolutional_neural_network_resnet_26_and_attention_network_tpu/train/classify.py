@@ -161,8 +161,9 @@ class Driver:
 
     def loader_seed(self, epoch: int) -> int:
         """Deterministic bag-order seed for epoch E (same property)."""
-        return int(np.random.SeedSequence(
-            [self.args.seed, epoch, 7]).generate_state(1)[0] & 0x7FFFFFFF)
+        from ..data.loader import epoch_loader_seed
+
+        return epoch_loader_seed(self.args.seed, epoch)
 
     # ------------------------------------------------------------ train
     def train_epoch(self, epoch: int, dataset, epoch_stats: dict):
@@ -373,7 +374,7 @@ class Driver:
     # --------------------------------------------------------- validate
     def validate(self, epoch: int, dataset, epoch_stats: dict):
         print(f"===> VALIDATION: Epoch = {epoch}")
-        from ..data.loader import pad_bag
+        from ..data.loader import pad_bag, prefetch_iter
         from ..parallel import inference
 
         stage = schedule.stage_for_epoch(epoch, test=True)
@@ -384,21 +385,33 @@ class Driver:
         predvals_dev, labels = [], []
         n = 0
         vkey = self.epoch_key(epoch, validate=True)
-        for idx, builder in enumerate(dataset.test_slide_builders):
-            label = int(dataset.test_slide_record[idx])
-            if builder.getsize() > self.interface_stream_tiles:
+
+        def produce():
+            # normal bags prepare (cache IO + pad) on a prefetch thread,
+            # overlapping the device forward; oversized bags are marked
+            # and stream on the consumer side
+            for idx, builder in enumerate(dataset.test_slide_builders):
+                label = int(dataset.test_slide_record[idx])
+                if builder.getsize() > self.interface_stream_tiles:
+                    yield "stream", builder, label
+                else:
+                    yield "bag", pad_bag(builder.get_validation_data()), \
+                        label
+
+        for kind, payload, label in prefetch_iter(produce(), depth=2):
+            if kind == "stream":
                 # oversized bag: exact eval-mode streaming (one chunk +
                 # the [T, L] features resident — the padded f32 bag would
                 # blow HBM). Pre-Check train-mode stochasticity is skipped
                 # for these; the reference would simply OOM here.
                 _, souts, _ = inference.classify_slide_streaming(
-                    self.state.params, self.cfg, builder,
+                    self.state.params, self.cfg, payload,
                     resolution=self.args.resolution,
-                    compute_dtype=self.compute_dtype)
+                    compute_dtype=self.compute_dtype, mesh=self.mesh)
                 outs = inference.streaming_eval_outputs(souts, label,
                                                         self.cfg)
             else:
-                tiles, mask = pad_bag(builder.get_validation_data())
+                tiles, mask = payload
                 # pre-Check stages validate with train-mode stochasticity,
                 # exactly like the reference (SetStage(test=True) only
                 # switches to eval at epoch >= 150; reference:
@@ -475,13 +488,26 @@ class Driver:
         (reference: gbm/classify_combined.py:221-298)."""
         import pandas as pd
 
-        from ..data.loader import pad_bag
+        from ..data.loader import pad_bag, prefetch_iter
         from ..parallel import inference
 
         print("===> INTERFACING TO CAMICROSCOPE")
         dataset.interface()
         dataset.NewResolution(self.args.resolution)
         out = self.output_dir
+
+        def produce():
+            # normal slides prepare (cache IO + transform dispatch + pad)
+            # on a prefetch thread; oversized slides are marked and
+            # stream on the consumer side
+            for idx in range(len(dataset)):
+                builder = dataset.all_builders[idx]
+                if builder.getsize() > self.interface_stream_tiles:
+                    yield "stream", builder, None, None
+                else:
+                    tiles, _, raster, _ = dataset[idx]
+                    yield "bag", builder, pad_bag(tiles), raster
+
         with open(f"{out}/move_images.sh", "w+") as f_tomove, \
                 open(f"{out}/manifest_img.csv", "w+") as f_img, \
                 open(f"{out}/manifest_heat.csv", "w+") as f_heat:
@@ -489,19 +515,18 @@ class Driver:
             f_heat.write("path,studyid,clinicaltrialsubjectid,imageid\n")
             predictions, labels = [], []
             ccls, slide_ebs, l_ntiles = {}, {}, []
-            for idx in range(len(dataset)):
-                builder = dataset.all_builders[idx]
+            for kind, builder, bag, raster in prefetch_iter(produce(),
+                                                            depth=2):
                 meta = builder.getmeta()
                 label = int(np.asarray(meta["outcome_tensor"]).ravel()[0])
-                if builder.getsize() > self.interface_stream_tiles:
+                if kind == "stream":
                     _, outs, raster = inference.classify_slide_streaming(
                         self.state.params, self.cfg, builder,
                         resolution=self.args.resolution,
-                        compute_dtype=self.compute_dtype)
+                        compute_dtype=self.compute_dtype, mesh=self.mesh)
                     T = raster.shape[0]
                 else:
-                    tiles, _, raster, _ = dataset[idx]
-                    tiles, mask = pad_bag(tiles)
+                    tiles, mask = bag
                     outs = self.fwd_eval(self.state.params, tiles, mask,
                                          jnp.int32(label))
                     T = int(np.asarray(mask).sum())

@@ -163,10 +163,10 @@ def train_epoch(args, epoch, dataset, state, fns, writer, global_steps):
     # every stochastic stream of epoch E derives from (seed, E)
     if hasattr(dataset, "reseed_augment"):
         dataset.reseed_augment(args.seed, epoch)
-    loader_seed = int(np.random.SeedSequence(
-        [args.seed, epoch, 7]).generate_state(1)[0] & 0x7FFFFFFF)
+    from ..data.loader import epoch_loader_seed
+
     loader = sample_data(dataset, image_size=args.resolution, shuffle=True,
-                         seed=loader_seed)
+                         seed=epoch_loader_seed(args.seed, epoch))
     ekey = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
     accumulate = steps.make_accumulate()
     grad_acc = steps.zeros_like_grads(state.params)
@@ -203,9 +203,11 @@ def train_epoch(args, epoch, dataset, state, fns, writer, global_steps):
     if writer is not None:
         writer.log_epoch(epoch, {"train_loss": loss, "train_error": err})
     _classification_report(labels, preds)
+    # optimizer state included (reference saved both, gbm/classify.py:
+    # 349-355) — required for the bit-exact resume guarantee
     checkpoint.save(
         os.path.join(args.output_dir, f"train_step-{epoch:03d}.model"),
-        state.params, extra={"epoch": np.int64(epoch)})
+        state.params, state.opt_state, extra={"epoch": np.int64(epoch)})
     return state, global_steps
 
 
@@ -297,6 +299,11 @@ def main(argv=None):
     compute_dtype = None if args.f32 else jnp.bfloat16
     fns = _make_fns(cfg, extractor, args, compute_dtype)
     state = steps.init_train_state(params, fns[3])
+    if args.ckpt and not args.transfer:
+        opt_state, ok = checkpoint.restore_opt_state(state.opt_state,
+                                                     args.ckpt)
+        if ok:
+            state = state._replace(opt_state=opt_state)
 
     writer = None
     if args.tensorboard:

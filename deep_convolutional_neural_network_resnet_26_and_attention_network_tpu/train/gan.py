@@ -269,6 +269,8 @@ def build_argparser():
 def train_gan(args):
     import random as py_random
 
+    # per-epoch streams are derived inside the epoch loop (bit-exact
+    # resume); these module-scope names are (re)bound there
     py_rng = py_random.Random(args.seed)
     rng = jax.random.PRNGKey(args.seed)
     width = args.width_mult

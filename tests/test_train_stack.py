@@ -680,3 +680,46 @@ def test_validation_streams_oversized_slides(synthetic_tree, tmp_path,
         stats = json.load(f)
     for k in ("valid_loss", "valid_err", "valid_kld", "valid_wsum"):
         assert np.isfinite(stats[k]), k
+
+
+def test_legacy_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
+    """The legacy driver now saves AND restores its Adam state, and its
+    rng streams derive from (seed, epoch) — so the classifier's bit-exact
+    resume guarantee holds here too."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        checkpoint,
+        classify_legacy,
+    )
+
+    _patch_roi32(monkeypatch)
+    common = [
+        "--resolution", "16", "--width_mult", "0.125", "--disc_cutoff", "2",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--f32", "--seed", "9", "--accum", "2", "--lr", "5e-4",
+    ]
+    out_a = tmp_path / "la"
+    out_a.mkdir()
+    assert classify_legacy.main(
+        ["--epoch_start", "0", "--epoch_end", "2",
+         "--output_root", str(out_a)] + common) == 0
+    out_b = tmp_path / "lb"
+    out_b.mkdir()
+    assert classify_legacy.main(
+        ["--epoch_start", "0", "--epoch_end", "1",
+         "--output_root", str(out_b)] + common) == 0
+    run_b = next(p for p in out_b.iterdir() if p.name.startswith("run_"))
+    ck = run_b / "train_step-000.model"
+    assert classify_legacy.main(
+        ["--epoch_start", "1", "--epoch_end", "2", "--ckpt", str(ck),
+         "--output_root", str(out_b)] + common) == 0
+
+    run_a = next(p for p in out_a.iterdir() if p.name.startswith("run_"))
+    run_b2 = sorted(p for p in out_b.iterdir()
+                    if p.name.startswith("run_"))[-1]
+    a = checkpoint.load_raw(str(run_a / "train_step-001.model"))
+    b = checkpoint.load_raw(str(run_b2 / "train_step-001.model"))
+    ap = {k: v for k, v in a.items() if k.startswith("classifier/")}
+    assert ap
+    for k, va in ap.items():
+        np.testing.assert_array_equal(va, b[k], err_msg=k)
