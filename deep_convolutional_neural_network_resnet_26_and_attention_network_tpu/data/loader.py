@@ -21,6 +21,7 @@ import math
 import queue
 import threading
 import time
+import warnings
 
 import jax.numpy as jnp
 import numpy as np
@@ -233,7 +234,28 @@ def prefetch_iter(iterable, *, depth: int = 2, stats: dict | None = None):
                 q.get_nowait()
             except queue.Empty:
                 break
+        # the join must not time out SILENTLY: a producer stuck past the
+        # window (mid-epoch cache build, multi-GB eval transform) would
+        # otherwise keep reading the dataset rng after control returns,
+        # re-enabling the reseed race the join exists to prevent. Loop
+        # joining while the thread lives (draining anything it enqueues so
+        # it can't deadlock on a full queue), warning so a determinism
+        # guarantee that is being stretched fails loudly.
+        deadline = time.monotonic() + 30.0
         worker.join(timeout=30.0)
+        while worker.is_alive():
+            warnings.warn(
+                "prefetch_iter: producer still running "
+                f"{time.monotonic() - deadline + 30.0:.0f}s after consumer "
+                "close; blocking until it finishes to preserve bit-exact "
+                "resume (a reseed during this window would race the "
+                "producer's rng reads)", RuntimeWarning, stacklevel=2)
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            worker.join(timeout=30.0)
 
 
 def sample_data(dataset, *, image_size: int | None = None,

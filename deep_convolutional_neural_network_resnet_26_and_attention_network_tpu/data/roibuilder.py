@@ -233,21 +233,35 @@ class RoiBuilder:
             self.params["root_cache_dir"], raw[len("data_"):],
             self._resolution)
 
+    def _raw_cache_fingerprint(self) -> str:
+        """Content identity of the raw tile cache: size + mtime_ns. Used
+        instead of mtime ORDERING for eval-cache staleness — a raw cache
+        rebuilt within the same timestamp tick with an unchanged tile
+        count (e.g. a re-tile with a tweaked filter threshold) would pass
+        an `mtime >=` check but changes the fingerprint (mtime_ns is the
+        full-resolution stamp of the NEW file, and size shifts with
+        content for npy)."""
+        st = os.stat(self.params["data_cache"])
+        return "{0}:{1}".format(st.st_size, st.st_mtime_ns)
+
     def _eval_tiles(self, data):
         """Transformed eval bag for the raw stack, via the f32 cache.
 
-        Staleness guards: the cache is ignored (and rewritten) when it is
-        older than the raw tile cache or its tile count differs — deleting
-        / rebuilding data_*.npy therefore invalidates it transparently.
-        The write is tmp-file + os.replace so an interrupted save can
-        never leave a truncated cache behind."""
+        Staleness guards: a fingerprint of the raw tile cache
+        (size + mtime_ns) is stored alongside the eval cache and must
+        match exactly — deleting / rebuilding data_*.npy therefore
+        invalidates it transparently, even when the rebuild lands in the
+        same coarse-mtime tick with the same tile count. The write is
+        tmp-file + os.replace so an interrupted save can never leave a
+        truncated cache behind."""
         use_cache = (self.eval_cache_enabled
                      and self.params["roi_size"] > self._resolution)
         path = self._eval_cache_path() if use_cache else None
+        fp_path = path + ".fp" if path else None
         if path and os.path.isfile(path):
             try:
-                fresh = (os.path.getmtime(path)
-                         >= os.path.getmtime(self.params["data_cache"]))
+                with open(fp_path) as f:
+                    fresh = f.read() == self._raw_cache_fingerprint()
                 cached = np.load(path, mmap_mode="r") if fresh else None
                 if cached is not None and cached.shape[0] == len(data):
                     return jnp.asarray(np.array(cached))
@@ -256,14 +270,21 @@ class RoiBuilder:
         out = transforms.apply_chunked(
             transforms.eval_transform, data, resolution=self._resolution)
         if path:
-            # ends in .npy so np.save writes exactly this name
+            # ends in .npy so np.save writes exactly this name; the
+            # fingerprint lands AFTER the data (a kill between the two
+            # leaves a fingerprint-less cache, which reads as stale)
             tmp = "{0}.{1}.tmp.npy".format(path, os.getpid())
             try:
                 np.save(tmp, np.asarray(out))
                 os.replace(tmp, path)
+                tmp_fp = "{0}.{1}.tmp".format(fp_path, os.getpid())
+                with open(tmp_fp, "w") as f:
+                    f.write(self._raw_cache_fingerprint())
+                os.replace(tmp_fp, fp_path)
             except OSError:
-                if os.path.isfile(tmp):
-                    os.unlink(tmp)
+                for t in (tmp, ):
+                    if os.path.isfile(t):
+                        os.unlink(t)
         return out
 
     def get_validation_data(self):

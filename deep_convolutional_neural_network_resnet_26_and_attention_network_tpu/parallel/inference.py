@@ -119,21 +119,26 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
 
     extract = _cached_transform_extract(cfg, compute_dtype, resolution)
 
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
     # big chunks amortize the per-dispatch overhead, but a slide smaller
     # than the chunk must not pad up to it (a 100-tile slide zero-padded
     # to 1024 would run 10x the useful forward work): clamp to the
-    # power-of-two bucket covering the slide, so program shapes stay on
-    # the cached ladder
+    # bucket covering the slide — WITH the mesh multiple, so the sharded
+    # clamp lands on the same ladder bucket_for defines (e.g. 36 for a
+    # 32-bucket on 6 devices). Rounding a clamped chunk down to a device
+    # multiple instead would mint off-ladder shapes (30 in that example)
+    # and compile a fresh extractor program per slide-size class.
     if raw.shape[0] < chunk:
         from ..data.loader import bucket_for
-        chunk = min(chunk, bucket_for(max(raw.shape[0], 1)))
+        chunk = min(chunk, bucket_for(max(raw.shape[0], 1),
+                                      multiple_of=n_dev))
 
     cnn = params["cnn"]
     part_sharding = None
     if mesh is not None:
-        n_dev = int(mesh.devices.size)
-        # chunk divisible over all devices; padded tiles are trimmed after
-        chunk = max(n_dev, (chunk // n_dev) * n_dev)
+        # user-supplied chunk divisible over all devices (padded tiles
+        # are trimmed after); round UP, matching bucket_for's semantics
+        chunk = max(n_dev, ((chunk + n_dev - 1) // n_dev) * n_dev)
         part_sharding = M.tile_stream_sharding(mesh)
         rep = M.replicated(mesh)
         cnn = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), cnn)
@@ -238,11 +243,17 @@ def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
     masks = jnp.stack(masks)
     # cache the compiled forward per (cfg, dtype, mesh) — a fresh
     # make_batched_infer per call would retrace+recompile every time
-    # (the module-header invariant)
-    key = ("batched_infer", cfg, str(compute_dtype),
-           None if mesh is None else id(mesh))
+    # (the module-header invariant). Mesh identity must be STABLE: id()
+    # can be recycled after GC, silently serving a forward compiled for a
+    # differently-shaped mesh — key on (axis sizes, device ids) and pin
+    # the mesh object in the entry so its devices stay live.
+    mesh_key = (None if mesh is None else
+                (tuple(mesh.shape.items()),
+                 tuple(d.id for d in mesh.devices.flat)))
+    key = ("batched_infer", cfg, str(compute_dtype), mesh_key)
     if key not in _FWD_CACHE:
-        _FWD_CACHE[key] = make_batched_infer(cfg, mesh,
-                                             compute_dtype=compute_dtype)
-    outs = _FWD_CACHE[key](params, tiles, masks)
+        _FWD_CACHE[key] = (make_batched_infer(cfg, mesh,
+                                              compute_dtype=compute_dtype),
+                           mesh)
+    outs = _FWD_CACHE[key][0](params, tiles, masks)
     return np.asarray(outs["y_pred"]).reshape(len(bags), -1), outs

@@ -98,6 +98,12 @@ def build_argparser():
                    help="train over an N-device (slides, tiles) mesh: each "
                         "accumulation window of bags becomes one sharded "
                         "batched step (the DataParallel replacement)")
+    p.add_argument("--stream_tiles", default=4096, type=int,
+                   help="slides with more tiles than this stream chunks "
+                        "through the extractor in validation/interface "
+                        "instead of materializing the padded f32 bag on "
+                        "device; lower it on smaller-HBM parts or larger "
+                        "resolutions")
     return p
 
 
@@ -121,6 +127,10 @@ class Driver:
         self.heat_dir = os.path.join(output_dir, "heatmaps")
         os.makedirs(self.heat_dir, exist_ok=True)
         self.compute_dtype = None if args.f32 else jnp.bfloat16
+        # per-run streaming threshold (--stream_tiles); the class attribute
+        # keeps the pre-flag default for direct Driver construction
+        if getattr(args, "stream_tiles", None):
+            self.interface_stream_tiles = int(args.stream_tiles)
 
         params = amil.init_attention_mil(jax.random.PRNGKey(args.seed), cfg)
         self.tx = steps.make_optimizer()
@@ -384,6 +394,7 @@ class Driver:
                                "y_pred_hat")}
         predvals_dev, labels = [], []
         n = 0
+        n_streamed = 0  # oversized bags routed through eval-mode streaming
         vkey = self.epoch_key(epoch, validate=True)
 
         def produce():
@@ -410,6 +421,7 @@ class Driver:
                     compute_dtype=self.compute_dtype, mesh=self.mesh)
                 outs = inference.streaming_eval_outputs(souts, label,
                                                         self.cfg)
+                n_streamed += 1
             else:
                 tiles, mask = payload
                 # pre-Check stages validate with train-mode stochasticity,
@@ -453,6 +465,10 @@ class Driver:
         epoch_stats["valid_err"] = sums["error"] / n
         epoch_stats["valid_wsum"] = sums["mu"] / n
         epoch_stats["valid_kld"] = sums["kld"] / n
+        # streamed bags always use eval-mode forward; during pre-Check
+        # (train_mode) stages a nonzero count marks this epoch's validation
+        # stats as mixed-mode (streamed slides skipped the stochastic path)
+        epoch_stats["valid_streamed_bags"] = n_streamed
         print(f"V: Loss {epoch_stats['valid_loss']:.3f}; "
               f"Error {100 * epoch_stats['valid_err']:.2f}%")
 

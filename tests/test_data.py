@@ -535,6 +535,45 @@ def test_eval_tile_cache_invalidates_on_rebuild(tmp_path, monkeypatch):
     assert "hsvcut_v3" in os.path.basename(b._eval_cache_path())
 
 
+def test_eval_tile_cache_invalidates_same_tick_same_count(tmp_path,
+                                                          monkeypatch):
+    """A raw cache rebuilt with the SAME tile count and an mtime equal to
+    the eval cache's (the same-filesystem-tick race a mtime>=
+
+    ordering check cannot see) must still invalidate: staleness compares
+    the stored size+mtime_ns fingerprint of the raw cache, not timestamp
+    ordering."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+        slide_io,
+    )
+
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(2)
+    base = np.array([140, 60, 170], np.int16)
+    img = np.clip(base + rng.integers(-40, 40, (256, 256, 3)), 0,
+                  255).astype(np.uint8)
+    path = slide_io.write_synthetic_slide(str(tmp_path / "s3.npy"), img)
+    b = roibuilder.RoiBuilder(path, {"roi_size": 64})
+    b.build()
+    b.update_resolution_and_buffer(16)
+    first = np.asarray(b.get_validation_data())
+    eval_path = b._eval_cache_path()
+
+    # re-tile with unchanged tile COUNT but different content (e.g. a
+    # tweaked filter threshold keeping the same tiles, different pixels),
+    # then pin the raw cache's mtime to the eval cache's exact timestamp
+    # so any ordering-based check calls it fresh
+    raw = np.load(b.params["data_cache"])
+    np.save(b.params["data_cache"], 255 - raw)
+    st = os.stat(eval_path)
+    os.utime(b.params["data_cache"], ns=(st.st_atime_ns, st.st_mtime_ns))
+
+    second = np.asarray(b.get_validation_data())
+    assert second.shape == first.shape
+    assert not np.array_equal(second, first)  # recomputed, not stale
+
+
 def test_outcome_grade_mrn_lookups(tmp_path):
     """getOutcome (ids col 0, headers row 4), getGrade (ids col 1, headers
     row 1), getMRN (ids col 1, value col 0) with the reference's sentinel

@@ -623,21 +623,21 @@ def test_checkpoint_restores_tuple_and_none_pytrees(tmp_path):
 
 def test_interface_streams_oversized_slides(synthetic_tree, tmp_path,
                                             monkeypatch):
-    """Slides beyond interface_stream_tiles take the streaming path (no
-    full padded bag on device) and must produce the same exports. The
-    threshold is dropped to 1 so every synthetic slide streams; CSVs,
-    manifests, and .dla maps must still appear with finite values."""
+    """Slides beyond --stream_tiles take the streaming path (no full
+    padded bag on device) and must produce the same exports. The
+    threshold is dropped to 1 via the CLI flag so every synthetic slide
+    streams; CSVs, manifests, and .dla maps must still appear with
+    finite values."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         classify,
     )
 
     _patch_roi32(monkeypatch)
-    monkeypatch.setattr(classify.Driver, "interface_stream_tiles", 1)
     out_root = tmp_path / "runs"
     out_root.mkdir()
     rc = classify.main([
         "--tag", "IFS", "--arch", "tiny", "--resolution", "16",
-        "--interface",
+        "--interface", "--stream_tiles", "1",
         "--data_root", str(synthetic_tree), "--image_dir", "slides",
         "--label_sheet", str(synthetic_tree / "clusters.csv"),
         "--output_root", str(out_root), "--f32", "--n_vis", "0",
@@ -656,19 +656,20 @@ def test_interface_streams_oversized_slides(synthetic_tree, tmp_path,
 
 def test_validation_streams_oversized_slides(synthetic_tree, tmp_path,
                                              monkeypatch):
-    """Validation routes bags above interface_stream_tiles through the
-    streaming path with the same metric keys; summary stats stay finite."""
+    """Validation routes bags above --stream_tiles through the streaming
+    path with the same metric keys; summary stats stay finite and the
+    streamed-bag count is recorded (mixed-mode epochs identifiable)."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         classify,
     )
 
     _patch_roi32(monkeypatch)
-    monkeypatch.setattr(classify.Driver, "interface_stream_tiles", 1)
     out_root = tmp_path / "runs"
     out_root.mkdir()
     rc = classify.main([
         "--tag", "VS", "--arch", "tiny", "--resolution", "16",
         "--test_only", "--epoch_start", "200",  # eval-mode stage
+        "--stream_tiles", "1",
         "--data_root", str(synthetic_tree), "--image_dir", "slides",
         "--label_sheet", str(synthetic_tree / "clusters.csv"),
         "--output_root", str(out_root), "--f32",
@@ -680,6 +681,7 @@ def test_validation_streams_oversized_slides(synthetic_tree, tmp_path,
         stats = json.load(f)
     for k in ("valid_loss", "valid_err", "valid_kld", "valid_wsum"):
         assert np.isfinite(stats[k]), k
+    assert stats["valid_streamed_bags"] > 0  # every slide streamed
 
 
 def test_legacy_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
