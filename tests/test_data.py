@@ -668,3 +668,152 @@ def test_bucket_for_non_pow2_multiple_stays_on_ladder():
     assert bucket_for(100, multiple_of=6) == 132  # 128 -> 132
     assert bucket_for(17, multiple_of=8) == 32    # divisible: unchanged
     assert bucket_for(17) == 32
+
+
+# ------------------------------------------------------- WSI containers
+def test_multipage_pyramidal_tiff_reads_largest_plane(tmp_path):
+    """A real multi-page pyramidal TIFF container (full-res plane NOT on
+    page 0, as in downsample-first exports) must yield the largest plane
+    from read_slide, and RoiBuilder.build on the container must produce
+    the exact cache the equivalent raw array produces (reference picks
+    the largest series, assumed 40x: RoiBuilder.py:139-147)."""
+    rng = np.random.default_rng(3)
+    base = np.array([140, 60, 170], np.int16)
+    full = np.clip(base + rng.integers(-40, 40, (256, 256, 3)), 0,
+                   255).astype(np.uint8)
+    # pyramid levels: 2x and 4x downsamples of the full-res plane
+    half = full[::2, ::2]
+    quarter = full[::4, ::4]
+    tif_path = str(tmp_path / "pyramid.tif")
+    Image.fromarray(half).save(
+        tif_path, save_all=True,
+        append_images=[Image.fromarray(full), Image.fromarray(quarter)])
+
+    plane = slide_io.read_slide(tif_path)
+    np.testing.assert_array_equal(plane, full)  # largest, not page 0
+
+    # container and raw array must build identical tile caches
+    cache_a = tmp_path / "cache_tif"
+    cache_b = tmp_path / "cache_npy"
+    cache_a.mkdir()
+    cache_b.mkdir()
+    npy_path = str(tmp_path / "pyramid_equiv.npy")
+    np.save(npy_path, full)
+    os.environ["CACHE_DIR"] = str(cache_a)
+    ba = roibuilder.RoiBuilder(tif_path, {"roi_size": 64})
+    ba.build()
+    os.environ["CACHE_DIR"] = str(cache_b)
+    bb = roibuilder.RoiBuilder(npy_path, {"roi_size": 64})
+    bb.build()
+    assert ba.getsize() == bb.getsize() > 0
+    np.testing.assert_array_equal(
+        np.load(ba.params["data_cache"]), np.load(bb.params["data_cache"]))
+    np.testing.assert_array_equal(
+        np.load(ba.params["coor_cache"]), np.load(bb.params["coor_cache"]))
+
+
+class _FakeSeries:
+    def __init__(self, arr):
+        self._arr = arr
+        self.shape = arr.shape
+
+    def asarray(self):
+        return self._arr
+
+
+class _FakeTiffModule:
+    """Structural stand-in for tifffile (absent in this image): a
+    TiffFile context exposing .series, recording handle closure."""
+
+    def __init__(self, series):
+        mod = self
+
+        class TiffFile:
+            closed = False
+
+            def __init__(self, path):
+                self.series = mod.series
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                type(self).closed = True
+                return False
+
+        self.series = series
+        self.TiffFile = TiffFile
+
+
+def test_read_tifffile_selects_largest_series_and_closes(monkeypatch):
+    """_read_tifffile must pick the series with the most pixels (not the
+    first) and release the container handle (a cohort sweep must not
+    leak an fd per slide); 2-D grayscale planes come back 3-channel."""
+    rng = np.random.default_rng(4)
+    small = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    big_gray = rng.integers(0, 255, (128, 128), np.uint8)  # most pixels? no
+    big = rng.integers(0, 255, (96, 96, 3), np.uint8)
+    # sizes: small 3072, big_gray 16384, big 27648 -> big wins
+    fake = _FakeTiffModule(
+        [_FakeSeries(small), _FakeSeries(big_gray), _FakeSeries(big)])
+    monkeypatch.setattr(slide_io, "_tifffile", fake)
+    out = slide_io.read_slide("whatever.scn")
+    np.testing.assert_array_equal(out, big)
+    assert fake.TiffFile.closed
+
+    # grayscale winner: promoted to HWC 3-channel
+    fake2 = _FakeTiffModule([_FakeSeries(small), _FakeSeries(big_gray)])
+    monkeypatch.setattr(slide_io, "_tifffile", fake2)
+    out2 = slide_io.read_slide("whatever.scn")
+    assert out2.shape == (128, 128, 3)
+    np.testing.assert_array_equal(out2[..., 0], big_gray)
+
+
+def test_real_tifffile_subifd_container(tmp_path):
+    """When tifffile IS available (not in this CI image — importorskip),
+    exercise _read_tifffile on an actual pyramidal container written with
+    subifds, the format real .scn/.svs exports use."""
+    tifffile = pytest.importorskip("tifffile")
+    rng = np.random.default_rng(5)
+    full = rng.integers(0, 255, (256, 256, 3), np.uint8)
+    path = str(tmp_path / "real_pyramid.tif")
+    with tifffile.TiffWriter(path) as tw:
+        tw.write(full, subifds=2, tile=(64, 64))
+        tw.write(full[::2, ::2], subfiletype=1, tile=(64, 64))
+        tw.write(full[::4, ::4], subfiletype=1, tile=(64, 64))
+    out = slide_io._read_tifffile(path)
+    np.testing.assert_array_equal(out, full)
+
+
+class _FakeOpenSlideModule:
+    class OpenSlideError(Exception):
+        pass
+
+    def __init__(self, ok_paths):
+        mod = self
+
+        class OpenSlide:
+            closes = 0
+
+            def __init__(self, path):
+                if path not in mod._ok:
+                    raise mod.OpenSlideError(path)
+
+            def close(self):
+                type(self).closes += 1
+
+        self._ok = set(ok_paths)
+        self.OpenSlide = OpenSlide
+
+
+def test_openslide_probe_positive_and_negative(monkeypatch):
+    """The caMicroscope eligibility probe (reference: RoiBuilder.py:76-84)
+    must return True only when openslide opens the file, close the handle
+    it opened, and degrade to False when the library is absent."""
+    fake = _FakeOpenSlideModule(["/slides/good.svs"])
+    monkeypatch.setattr(slide_io, "_openslide", fake)
+    assert slide_io.openslide_eligible("/slides/good.svs")
+    assert fake.OpenSlide.closes == 1
+    assert not slide_io.openslide_eligible("/slides/bad.png")
+    monkeypatch.setattr(slide_io, "_openslide", None)
+    assert not slide_io.openslide_eligible("/slides/good.svs")
