@@ -1,6 +1,7 @@
 """alt_resnet (torchvision-template, no-norm) + profiling utils tests."""
 
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 import jax
@@ -14,6 +15,7 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.utils
 )
 
 
+@pytest.mark.slow
 def test_alt_resnet_forward_shapes():
     key = jax.random.PRNGKey(0)
     params = alt_resnet.init_resnet(key, [1, 1, 1, 1], num_classes=10,
@@ -145,6 +147,7 @@ def test_trace_writes_files(tmp_path):
     assert found  # some trace artifact landed
 
 
+@pytest.mark.slow
 def test_from_pretrained_offline_error_and_delegation(monkeypatch):
     """from_pretrained fetches via torch.hub and overlays; offline it
     raises an actionable error (reference: alt_resnet.py:148-165)."""

@@ -38,6 +38,7 @@ def test_rgb_to_he_res_identity_shape():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_conv_block_variants_shapes():
     key = jax.random.PRNGKey(0)
     x = jnp.ones((2, 16, 16, 8))
@@ -92,6 +93,7 @@ def test_reset_linear_reinits_linears_only():
 
 
 # --------------------------------------------------------------------- wae
+@pytest.mark.slow
 def test_wae_roundtrip_shapes():
     key = jax.random.PRNGKey(0)
     # tiny channel schedule, 2 levels: 32px -> 8px at latent_size 8
@@ -131,6 +133,7 @@ def test_conv_transpose_2x2_matches_torch():
 
 
 # -------------------------------------------------------------------- unet
+@pytest.mark.slow
 def test_latent_unet_forward_and_early_stop():
     key = jax.random.PRNGKey(0)
     p = unet.init_latent_unet(key, depth=3, start_filts=4, input_size=32,

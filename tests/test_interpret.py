@@ -19,6 +19,8 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.model
     resnet,
 )
 
+pytestmark = pytest.mark.slow  # aux capability tier (see pyproject markers)
+
 WIDTHS = (8, 8, 8, 8)
 BLOCKS = (1, 1, 1, 1)
 

@@ -164,6 +164,7 @@ def test_pallas_pool_gradients_match_unfused():
                                    atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_trains_through_pallas_pool():
     """A full model grad with use_pallas_pool=True matches the XLA path."""
     params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)

@@ -92,6 +92,7 @@ def test_torch_parity():
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_s2d_stem_matches_conv7():
     """The space-to-depth stem fast path computes the identical sum of
     products as conv7x7 s2 p3 — f32 values and gradients must agree to

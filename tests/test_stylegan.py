@@ -103,6 +103,7 @@ def test_minibatch_stddev_adds_constant_plane():
 
 # -------------------------------------------------------------- shapes
 @pytest.mark.parametrize("step", [0, 1, 2])
+@pytest.mark.slow
 def test_generator_discriminator_progression(step):
     key = jax.random.PRNGKey(0)
     params_g = sg.init_styled_generator(key, style_dim=32, width_mult=WM)
@@ -173,6 +174,7 @@ def image_dir(tmp_path):
     return str(d)
 
 
+@pytest.mark.slow
 def test_gan_trainer_smoke(image_dir, tmp_path):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         gan,
@@ -203,6 +205,7 @@ def test_gan_trainer_smoke(image_dir, tmp_path):
     assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
 
+@pytest.mark.slow
 def test_gan_generate_smoke(image_dir, tmp_path):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         gan,
@@ -313,6 +316,7 @@ def test_multi_resolution_store_build_and_switch(image_dir, tmp_path):
         store.NewResolution(6)
 
 
+@pytest.mark.slow
 def test_gan_trainer_uses_store(image_dir, tmp_path):
     """The trainer auto-detects a prebuilt store directory."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.gan_dataset import (
@@ -384,6 +388,7 @@ def test_gan_dataset_skips_non_image_npy(tmp_path):
     assert len(store) == 5  # 5 tiles, no coordinate rows
 
 
+@pytest.mark.slow
 def test_gan_trainer_profile_flag(image_dir, tmp_path):
     """--profile captures an XProf trace of the first epoch + per-batch
     percentiles (the TPU equivalent of the reference's committed cProfile
@@ -405,6 +410,7 @@ def test_gan_trainer_profile_flag(image_dir, tmp_path):
     assert os.path.isdir(prof) and os.listdir(prof)
 
 
+@pytest.mark.slow
 def test_gan_resume_is_bit_exact(image_dir, tmp_path):
     """Same elastic-resume guarantee as the classifier: every stochastic
     stream of GAN epoch E (batch order, style-mixing coin flips, all jax

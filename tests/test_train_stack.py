@@ -259,6 +259,7 @@ def _patch_roi32(monkeypatch):
     monkeypatch.setattr(dmod, "RoiBuilder", rb32)
 
 
+@pytest.mark.slow
 def test_classify_cli_end_to_end(synthetic_tree, tmp_path, monkeypatch):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         classify,
@@ -310,6 +311,7 @@ def test_classify_cli_end_to_end(synthetic_tree, tmp_path, monkeypatch):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_classify_cli_interface_mode(synthetic_tree, tmp_path, monkeypatch):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         classify,
@@ -334,6 +336,7 @@ def test_classify_cli_interface_mode(synthetic_tree, tmp_path, monkeypatch):
     assert len(dlas) >= 4
 
 
+@pytest.mark.slow
 def test_classify_cli_mesh_training(synthetic_tree, tmp_path, monkeypatch):
     """--mesh N: accumulation windows run as sharded batched steps."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
@@ -362,6 +365,7 @@ def test_classify_cli_mesh_training(synthetic_tree, tmp_path, monkeypatch):
     assert np.isfinite(stats["train_loss"])
 
 
+@pytest.mark.slow
 def test_classify_legacy_cli(synthetic_tree, tmp_path, monkeypatch):
     """The legacy GAN-discriminator driver shim trains, checkpoints, and
     exports .dla maps + manifests end to end (reference: gbm/classify.py)."""
@@ -399,6 +403,7 @@ def test_classify_legacy_cli(synthetic_tree, tmp_path, monkeypatch):
     assert any(n.startswith("prediction-AGMIL-ACTF3") for n in names)
 
 
+@pytest.mark.slow
 def test_classify_cli_profile_flag(synthetic_tree, tmp_path, monkeypatch):
     """--profile captures a device trace + per-step percentiles."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
@@ -425,6 +430,7 @@ def test_classify_cli_profile_flag(synthetic_tree, tmp_path, monkeypatch):
     assert "step_times" in stats and stats["step_times"]["steps"] >= 1
 
 
+@pytest.mark.slow
 def test_train_step_bag_weights_zero_out_dummy_bags():
     """A window padded with zero-weight copies takes the same optimizer
     step and reports the same metrics as the unpadded window (the
@@ -470,6 +476,7 @@ def test_train_step_bag_weights_zero_out_dummy_bags():
     assert (hats[2:] == -1).all() and (hats[:2] >= 0).all()
 
 
+@pytest.mark.slow
 def test_pallas_pool_falls_back_above_vmem_cap(monkeypatch):
     """Bags beyond PALLAS_POOL_MAX_TILES must take the unfused path (the
     single-program kernel's VMEM buffers scale with T; uncapped eval bags
@@ -498,6 +505,7 @@ def test_pallas_pool_falls_back_above_vmem_cap(monkeypatch):
             cfg, use_pallas_pool=True)
 
 
+@pytest.mark.slow
 def test_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
     """Elastic recovery guarantee: every stochastic stream of epoch E
     (bag order, crop/flip augmentation, tile subsample, dropout) is a pure
@@ -538,6 +546,7 @@ def test_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
         np.testing.assert_array_equal(va, b[k], err_msg=k)
 
 
+@pytest.mark.slow
 def test_tensorboard_epoch_writer(tmp_path):
     """EpochWriter flattens nested stats dicts to scalar tags and writes a
     tfevents file (legacy SummaryWriter parity, gbm/classify.py:21,32,326);
@@ -561,6 +570,7 @@ def test_tensorboard_epoch_writer(tmp_path):
         assert any("tfevents" in f for f in files)
 
 
+@pytest.mark.slow
 def test_resume_is_bit_exact_mesh(synthetic_tree, tmp_path, monkeypatch):
     """Same bit-exact resume guarantee through the MESH path: window rng
     keys fold in the window index from an epoch-derived root, and the
@@ -621,6 +631,7 @@ def test_checkpoint_restores_tuple_and_none_pytrees(tmp_path):
                                   np.full((4,), 7.0))
 
 
+@pytest.mark.slow
 def test_interface_streams_oversized_slides(synthetic_tree, tmp_path,
                                             monkeypatch):
     """Slides beyond --stream_tiles take the streaming path (no full
@@ -654,6 +665,7 @@ def test_interface_streams_oversized_slides(synthetic_tree, tmp_path,
     assert any(f.endswith(".dla") for f in os.listdir(iface))
 
 
+@pytest.mark.slow
 def test_validation_streams_oversized_slides(synthetic_tree, tmp_path,
                                              monkeypatch):
     """Validation routes bags above --stream_tiles through the streaming
@@ -684,6 +696,7 @@ def test_validation_streams_oversized_slides(synthetic_tree, tmp_path,
     assert stats["valid_streamed_bags"] > 0  # every slide streamed
 
 
+@pytest.mark.slow
 def test_legacy_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
     """The legacy driver now saves AND restores its Adam state, and its
     rng streams derive from (seed, epoch) — so the classifier's bit-exact

