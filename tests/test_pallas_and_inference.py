@@ -182,3 +182,35 @@ def test_model_trains_through_pallas_pool():
     for a, b in zip(jax.tree_util.tree_leaves(g_fused),
                     jax.tree_util.tree_leaves(g_plain)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pallas_stem_u8_matches_conv7():
+    """The fused u8-ingest stem kernel (implicit-GEMM halo formulation)
+    must match conv7x7s2p3(normalize(x)) at bf16 tolerance for both
+    normalize conventions, including the border correction for beta != 0
+    (interpret mode; the on-chip A/B lives in tools/exp_stem_pallas.py
+    and PROFILE.md)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.ops import (
+        nn as N,
+        pallas_stem,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (
+        resnet,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (2, 300, 300, 3), np.uint8)
+    params = resnet.init_resnet26(jax.random.PRNGKey(0))
+    conv1 = params["conv1"]
+    for alpha, beta in [(1 / 255.0, 0.0), (1 / 127.5, -1.0)]:
+        ref_in = jnp.asarray(x, jnp.float32) * alpha + beta
+        ref = N.conv2d(ref_in, conv1["w"], conv1["b"], stride=2, padding=3)
+        got = pallas_stem.stem_u8_conv(conv1, jnp.asarray(x), alpha=alpha,
+                                       beta=beta, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        err = float(jnp.max(jnp.abs(got - ref))) / scale
+        assert err < 0.02, (alpha, beta, err)  # bf16 matmul tolerance
+
+    with pytest.raises(ValueError, match="expects uint8"):
+        pallas_stem.stem_u8_conv(conv1, jnp.zeros((1, 300, 300, 3)),
+                                 alpha=1.0, beta=0.0)
