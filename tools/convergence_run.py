@@ -78,6 +78,9 @@ def main(argv=None):
                     help="tiny arch + 32px tiles (smoke/CI)")
     ap.add_argument("--out", default=None,
                     help="work dir (default: a temp dir)")
+    ap.add_argument("--epoch_start", type=int, default=0,
+                    help="resume a previous run in the same --out dir "
+                         "(picks up its newest checkpoint via --ckpt auto)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     if args.epochs < 5:
@@ -99,12 +102,13 @@ def main(argv=None):
     rc = classify.main([
         "--tag", "CONV", "--arch", "tiny" if args.tiny else "full",
         "--resolution", str(res), "--roi_size", str(res),
-        "--epoch_start", "0", "--epoch_end", str(args.epochs),
+        "--epoch_start", str(args.epoch_start),
+        "--epoch_end", str(args.epochs),
         "--fold", "0", "--n_vis", "1", "--seed", str(args.seed),
         "--data_root", tree, "--image_dir", "slides",
         "--label_sheet", os.path.join(tree, "clusters.csv"),
         "--output_root", work,
-    ])
+    ] + (["--ckpt", "auto"] if args.epoch_start else []))
     wall = time.time() - t0
     assert rc == 0, f"driver exited {rc}"
 
