@@ -608,6 +608,9 @@ class Driver:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     print(args)
+    from ..utils import compcache
+
+    compcache.enable()  # resumed runs skip the multi-minute recompiles
 
     if args.interface:
         output_dir = os.path.join(args.output_root, "interface_data")

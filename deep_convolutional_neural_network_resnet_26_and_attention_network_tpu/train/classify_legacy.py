@@ -260,6 +260,9 @@ def test(args, epoch, dataset, state, fns):
 
 
 def main(argv=None):
+    from ..utils import compcache
+
+    compcache.enable()  # persistent XLA cache across runs
     args = build_argparser().parse_args(argv)
     print(args)
     stamp = datetime.now().strftime("%d-%b-%Y-%H-%M-%S")

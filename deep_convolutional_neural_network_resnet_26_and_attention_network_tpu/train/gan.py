@@ -444,6 +444,9 @@ def train_gan(args):
 
 
 def main(argv=None):
+    from ..utils import compcache
+
+    compcache.enable()  # persistent XLA cache across runs
     args = build_argparser().parse_args(argv)
     print(args)
     train_gan(args)

@@ -79,6 +79,9 @@ def style_mixing(params_g, rng, step, mean_style_w, n_source, n_target, *,
 
 
 def main(argv=None):
+    from ..utils import compcache
+
+    compcache.enable()  # persistent XLA cache across runs
     p = argparse.ArgumentParser()
     p.add_argument("path", type=str, help="path to checkpoint file")
     p.add_argument("--size", type=int, default=1024)

@@ -15,6 +15,10 @@ if "--xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CLI drivers enable the persistent compilation cache (utils/compcache);
+# XLA:CPU AOT entries are host-CPU-specific (cross-host loads can SIGILL)
+# and CI shapes are tiny — keep tests uncached
+os.environ["JAX_DISABLE_PERSISTENT_CACHE"] = "1"
 
 import jax  # noqa: E402
 
