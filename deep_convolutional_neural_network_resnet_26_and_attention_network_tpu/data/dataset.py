@@ -50,7 +50,8 @@ class GHPSingleBagDatasetSimple:
                  svs_glob: str = "*.svs",
                  ylabel: str = "Actual Cluster Designation",
                  roi_size: int | None = None,
-                 seed: int | None = None):
+                 seed: int | None = None,
+                 train_pad: int | None = None):
         self.train_slide_builders, self.train_slide_outcomes = [], []
         self.train_slide_path, self.train_slide_record = [], []
         self.test_slide_builders, self.test_slide_outcomes = [], []
@@ -70,6 +71,7 @@ class GHPSingleBagDatasetSimple:
         self.bagmode = bag
         self.ylabel = ylabel
         self.roi_size = roi_size  # None -> RoiBuilder default (1200)
+        self.train_pad = train_pad  # None -> scaled reference pad
         self.split = split
         self.output_dir = output_dir
         self.studyid = "gmb-id-nn"
@@ -80,6 +82,8 @@ class GHPSingleBagDatasetSimple:
     def _builder(self, file: str, params: dict) -> RoiBuilder:
         if self.roi_size is not None:
             params.setdefault("roi_size", self.roi_size)
+        if self.train_pad is not None:
+            params.setdefault("train_pad", self.train_pad)
         return RoiBuilder(file, params=params)
 
     # ------------------------------------------------------------------

@@ -207,8 +207,15 @@ class RoiBuilder:
         self._train_rng, sub = jax.random.split(self._train_rng)
         # Pad(100) at roi 1200 like the reference (RoiBuilder.py:195); for
         # other tile sizes the jitter scales proportionally — a fixed 100px
-        # pad on small tiles would make crops mostly zero padding
-        pad = max(1, round(self.params["roi_size"] * 100 / 1200))
+        # pad on small tiles would make crops mostly zero padding. A
+        # params['train_pad'] override (driver --train_pad) wins; 0 turns
+        # the pad/crop jitter off entirely (flips still apply), which keeps
+        # train and eval tile distributions identical — needed on synthetic
+        # tasks where the zero-pad border itself admits a degenerate
+        # optimum the eval path can never satisfy (PROFILE.md).
+        pad = self.params.get("train_pad")
+        if pad is None:
+            pad = max(1, round(self.params["roi_size"] * 100 / 1200))
         return transforms.apply_chunked(
             transforms.train_transform, data, rng=sub,
             roi_size=self.params["roi_size"], resolution=self._resolution,

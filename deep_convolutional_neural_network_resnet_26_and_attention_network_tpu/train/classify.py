@@ -98,6 +98,14 @@ def build_argparser():
                    help="train over an N-device (slides, tiles) mesh: each "
                         "accumulation window of bags becomes one sharded "
                         "batched step (the DataParallel replacement)")
+    p.add_argument("--train_pad", default=None, type=int,
+                   help="zero-pad margin for the train random-crop jitter "
+                        "(default: the reference's 100 px at roi 1200, "
+                        "scaled to --roi_size). 0 disables the pad/crop "
+                        "augmentation entirely — use when train and eval "
+                        "tile distributions must match exactly, e.g. "
+                        "synthetic convergence checks where a border-only "
+                        "degenerate optimum exists (PROFILE.md)")
     p.add_argument("--stream_tiles", default=4096, type=int,
                    help="slides with more tiles than this stream chunks "
                         "through the extractor in validation/interface "
@@ -621,7 +629,8 @@ def main(argv=None):
     dataset = ds_mod.GHPSingleBagDatasetSimple(
         bag=True, output_dir=output_dir, root_dir=args.data_root,
         image_dir=args.image_dir, label_sheet=args.label_sheet,
-        roi_size=args.roi_size, seed=args.seed)
+        roi_size=args.roi_size, seed=args.seed,
+        train_pad=args.train_pad)
     if args.split_ckpt:
         dataset.load_from_checkpoint(args.split_ckpt)
     else:

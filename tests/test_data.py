@@ -409,6 +409,31 @@ def test_train_data_pad_scales_with_roi(tmp_path, monkeypatch):
     assert frac_padding < 0.3, frac_padding
 
 
+def test_train_pad_zero_disables_crop_jitter(tmp_path, monkeypatch):
+    """params['train_pad']=0 (driver --train_pad 0) must yield train bags
+    that match the eval bags tile-for-tile up to H/V flips — no zero-pad
+    border anywhere. Guards the convergence-run configuration (a border-
+    keyed degenerate optimum exists on synthetic tasks; PROFILE.md)."""
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(10, 245, (6, 16, 16, 3)).astype(np.uint8)
+    base = "nopad"
+    np.save(tmp_path / f"data_{base}_rois_size16_hsvcut_v3.npy", tiles)
+    np.save(tmp_path / f"coor_{base}_rois_size16_hsvcut_v3.npy",
+            np.stack([[i * 16, 0] for i in range(6)]))
+    path = tmp_path / f"{base}.npy"
+    path.write_bytes(b"x")
+    b = roibuilder.RoiBuilder(str(path), {"roi_size": 16, "train_pad": 0})
+    b.update_resolution_and_buffer(16)
+    train = np.asarray(b.get_train_data())
+    ev = np.asarray(b.get_validation_data())
+    assert train.shape == ev.shape
+    assert not (train < -0.99).any()  # no injected zero-pad border
+    for i in range(train.shape[0]):
+        variants = [ev[i], ev[i][::-1], ev[i][:, ::-1], ev[i][::-1, ::-1]]
+        assert any(np.allclose(train[i], v, atol=1e-5) for v in variants), i
+
+
 def test_prefetcher_stall_instrumentation():
     """BagPrefetcher reports device-idle (wait) time and bag counts."""
     import time as _time

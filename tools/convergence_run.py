@@ -12,6 +12,17 @@ strongest hermetic stand-in: each class's tiles share a mean color under
 heavy noise, so a working extractor+pooling stack must reach 100% and a
 broken one cannot. The bag generator scales up tests/test_learnability.py.
 
+The run passes ``--train_pad 0`` (augmentation pad/crop off, flips kept).
+With the reference-scaled pad (25 px at roi 300) the full-width no-norm
+net converges to a DEGENERATE optimum: it reaches the smoothed-CE global
+minimum on train bags (loss 0.75, error 0%) by keying on features of the
+zero-pad border the random crop stamps on every train tile — and outputs
+exactly uniform probabilities (valid loss = ln 3) on border-free eval
+tiles of the *same slides*. Probed checkpoint evidence and discussion in
+PROFILE.md ("Convergence run"). Real histology escapes this because the
+discriminative signal dwarfs the border artifact; the synthetic color
+task does not, so train/eval distributions must match exactly here.
+
 Usage (numbers land in PROFILE.md):
     python tools/convergence_run.py                    # full width, TPU
     python tools/convergence_run.py --tiny --epochs 3  # smoke (CPU ok)
@@ -105,6 +116,7 @@ def main(argv=None):
         "--epoch_start", str(args.epoch_start),
         "--epoch_end", str(args.epochs),
         "--fold", "0", "--n_vis", "1", "--seed", str(args.seed),
+        "--train_pad", "0",
         "--data_root", tree, "--image_dir", "slides",
         "--label_sheet", os.path.join(tree, "clusters.csv"),
         "--output_root", work,
