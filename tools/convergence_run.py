@@ -7,10 +7,13 @@ Proves the flagship 20/40/60/80 ResNet-26 + attention-MIL configuration
 held-out slide accuracy reaches 100%.
 
 The reference's 85% slide-accuracy claim (reference: README.md:11) is
-unreachable without the private GBM cohort; color-separable bags are the
-strongest hermetic stand-in: each class's tiles share a mean color under
-heavy noise, so a working extractor+pooling stack must reach 100% and a
-broken one cannot. The bag generator scales up tests/test_learnability.py.
+unreachable without the private GBM cohort; grating-separable bags are
+the hermetic stand-in: each class's tiles carry a sinusoidal grating of
+class-specific orientation/frequency under heavy noise (see GRATINGS),
+so a working extractor+pooling stack must reach 100% and a broken one
+cannot. The generator parallels tests/test_learnability.py's toy task,
+re-based from mean color onto gratings because a DC color offset is not
+learnable by the full-depth no-norm conv stack (details below).
 
 The run passes ``--train_pad 0`` (augmentation pad/crop off, flips kept).
 With the reference-scaled pad (25 px at roi 300) the full-width no-norm
@@ -42,8 +45,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))  # repo root, for `python tools/...`
 
-# class -> mean RGB (uint8 space); same palette as test_learnability.py
-COLORS = {0: (150, 60, 170), 1: (80, 150, 90), 2: (70, 90, 180)}
+# class -> flip-invariant grating (axis, period px). A pure mean-COLOR
+# signal (the toy test_learnability palette) is NOT usable at full width:
+# a DC offset attenuates through every Kaiming-init no-norm conv layer
+# (near-zero-mean filters), and the 26-layer stack provably fails to
+# descend on it in 30 epochs (loss pinned at ln 3 — measured, see
+# PROFILE.md "Convergence run"). Gratings are the conv-native separable
+# signal: orientation (A vs B) and spatial frequency (A vs C) land in
+# the 7x7 stem's receptive field at full 300 px resolution, and both
+# properties survive the H/V flip augmentation and any crop phase.
+GRATINGS = {0: ("h", 30.0), 1: ("v", 30.0), 2: ("h", 10.0)}
 CLASS_TAG = {0: "A", 1: "B", 2: "C"}
 
 
@@ -56,6 +67,7 @@ def build_tree(root: str, *, n_slides: int, tiles_per_slide: int,
     os.makedirs(cache, exist_ok=True)
     os.makedirs(slides, exist_ok=True)
 
+    idx = np.arange(roi, dtype=np.float64)
     rows = [["id", ""], ["hdr", "Actual Cluster Designation"]]
     for i in range(n_slides):
         cls = i % 3
@@ -63,10 +75,15 @@ def build_tree(root: str, *, n_slides: int, tiles_per_slide: int,
         rows.append([name, CLASS_TAG[cls]])
         with open(os.path.join(slides, f"{name}_H&E.scn"), "wb") as f:
             f.write(b"synthetic")
-        base = np.array(COLORS[cls], np.int16)
+        axis, period = GRATINGS[cls]
         t = tiles_per_slide + int(rng.integers(0, tiles_per_slide // 4 + 1))
+        phase = rng.uniform(0, 2 * np.pi, (t, 1))
+        wave = 50.0 * np.sin(2 * np.pi * idx[None, :] / period + phase)
+        grid = (wave[:, :, None] if axis == "h"  # varies along rows
+                else wave[:, None, :])           # varies along cols
         tiles = np.clip(
-            base + rng.integers(-70, 70, (t, roi, roi, 3)), 0,
+            128.0 + grid[..., None]
+            + rng.integers(-70, 70, (t, roi, roi, 3)), 0,
             255).astype(np.uint8)
         coords = np.stack([[j * roi, 0] for j in range(t)])
         stem = f"{name}_H&E_rois_size{roi}_hsvcut_v3"
