@@ -10,15 +10,21 @@ as an *implicit-GEMM with halo*:
   1. XLA-side prep (rides the ingest elementwise pass): pad the u8 tiles
      to 306x306, space-to-depth to [B, 12, 153, 153] channel-MAJOR planes
      (zero-padded to 16 channels so every kernel copy is sublane-aligned),
-     flattened to [B, 16, 153*153] with the row stride kept at 153.
-  2. In-kernel: normalize u8 -> bf16 once, then build the im2col matrix
-     with exactly 16 CONTIGUOUS lane-slice copies — tap (a, b) of the
-     equivalent conv4x4-s1 is the whole flattened plane shifted by
-     a*153 + b (the halo trick: flattening ignores row boundaries, so 3
-     garbage columns per row are computed and discarded by the wrapper
-     instead of paying per-row copy granularity).
-  3. One [20, 256] x [256, S] MXU matmul per half-tile (K = 16ch * 16
-     taps; 147 live weights), f32 accumulation.
+     each plane row lane-padded to 256 and flattened to [B, 16, 153*256].
+     The 256 row stride is the load-bearing choice: tap row shifts become
+     offsets of a*256 — statically 128-aligned, which Mosaic REQUIRES for
+     lane-dimension slices (the original 153-stride halo layout, shift
+     a*153+b, was rejected: "cannot statically prove that index in
+     dimension 1 is a multiple of 128").
+  2. In-kernel: normalize u8 -> bf16 once; for each column shift b in
+     0..3, pltpu.roll the flattened plane by -b (the only sub-lane move,
+     done as a hardware lane rotate), then take 4 aligned static slices
+     (row shifts a*256) — 16 contiguous copies build the im2col matrix.
+  3. One [20, 256] x [256, S] MXU matmul per 50-output-row block
+     (K = 16ch * 16 taps; 147 live weights), f32 accumulation. Grid is
+     (B, 5): a full 150-row p-matrix at stride 256 is 19.6 MB — over
+     VMEM — so each program owns 30 output rows (p = 3.9 MB; the
+     N_BLK=3 variant measured 792 KB over the 16 MB scoped limit).
 
 Bias, LeakyReLU, the boundary correction (below), and maxpool stay in XLA
 where they fuse into the output relayout.
@@ -29,10 +35,12 @@ instead of the true zero padding of the reference conv. The wrapper adds
 taps) and S[o] the full tap sum — an identity, not an approximation; the
 correction vanishes for beta == 0 (the bench's x/255 ingest).
 
-Measured on the v5e bench chip (PROFILE.md "fused u8 stem"): see the
-interleaved A/B there before using — shipped as an opt-in
-(``apply_resnet26(..., stem="pallas_u8")``) regardless of verdict so the
-experiment stays reproducible.
+Measured on the v5e bench chip and REJECTED (counter-experiment #6,
+PROFILE.md "Fused u8 Pallas stem"): stem-only 0.27x XLA, full forward
+0.40x. The kernel stays as a standalone op + tests + interleaved A/B
+harness (tools/exp_stem_pallas.py) so the measurement is reproducible;
+it is deliberately NOT wired into apply_resnet26 — the XLA stem is the
+shipped path.
 """
 
 import functools
@@ -47,34 +55,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 H_IN = 300            # live-driver tile resolution (the only fused shape)
 H_PAD = H_IN + 6      # pad 3 on each side before space-to-depth
-W2 = H_PAD // 2       # 153: s2d plane side == flattened row stride
+W2 = H_PAD // 2       # 153: s2d plane side (rows and live cols)
 OUT = H_IN // 2       # 150 output rows/cols
-PLANE = W2 * W2       # 23409 flattened s2d positions
-HALF_ROWS = (OUT + 1) // 2          # 75 output rows per grid half
-S_HALF = HALF_ROWS * W2             # 11475 s' positions per half
-S_PAD = ((S_HALF + 127) // 128) * 128   # 11520: padded copy/matmul width
-MAX_OFF = 3 * W2 + 3                # largest tap shift
-L_PAD = ((S_HALF + S_PAD + MAX_OFF + 127) // 128) * 128  # padded plane len
+STRIDE = 256          # lane-padded plane row stride (128-aligned shifts)
+L = W2 * STRIDE       # 39168: flattened plane length (mult. of 128)
+N_BLK = 5             # output row blocks per tile (VMEM ceiling)
+BLK_ROWS = OUT // N_BLK             # 30 output rows per grid step
+S_BLK = BLK_ROWS * STRIDE           # 7680 matmul columns per block
 CH = 16                             # 12 live s2d channels, padded to align
 K = 16 * CH                         # im2col rows (256; 147 live weights)
 
 
-def _stem_kernel(scal_ref, x_ref, w_ref, o_ref, xn_ref, p_ref):
-    """Grid (B, 2). x_ref [1, CH, L_PAD] u8; w_ref [20, K] bf16;
-    o_ref [1, 1, 20, S_PAD] bf16; scratch xn [CH, L_PAD] bf16,
-    p [K, S_PAD] bf16."""
+def _stem_kernel(scal_ref, x_ref, w_ref, o_ref, xn_ref, vb_ref, p_ref):
+    """Grid (B, N_BLK). x_ref [1, CH, L] u8; w_ref [20, K] bf16;
+    o_ref [1, 1, 20, S_BLK] bf16; scratch xn [CH, L] f32,
+    vb [CH, L] bf16, p [K, S_BLK] bf16."""
     h = pl.program_id(1)
-    alpha = scal_ref[0, 0].astype(jnp.bfloat16)
-    beta = scal_ref[0, 1].astype(jnp.bfloat16)
-    # normalize the whole plane (u8 -> bf16) — one pass over 376 KB
-    xn_ref[:, :] = x_ref[0].astype(jnp.bfloat16) * alpha + beta
-    base = h * S_HALF
-    # implicit-GEMM: 16 contiguous shifted copies build the im2col matrix
-    for a in range(4):
-        for b in range(4):
+    alpha = scal_ref[0, 0]
+    beta = scal_ref[0, 1]
+    # normalize the whole plane — one VPU pass. The plane stays f32 (not
+    # bf16): Mosaic's lane rotate only handles 32-bit data, and there is
+    # no direct u8->bf16 cast either (widen through i32)
+    xn_ref[:, :] = (x_ref[0].astype(jnp.int32).astype(jnp.float32)
+                    * alpha + beta)
+    base = h * S_BLK
+    # implicit-GEMM: tap (a, b) of the equivalent conv4x4-s1 on the s2d
+    # planes is the flattened plane shifted by a*STRIDE + b. The b part
+    # is a lane rotate (pltpu.roll) staged through the vb scratch (Mosaic
+    # lowers ref slicing, not value-level dynamic_slice); the a part is a
+    # 128-aligned pl.ds on that ref (STRIDE and S_BLK are multiples of
+    # 128 — the alignment Mosaic must statically prove).
+    for b in range(4):
+        if b:
+            # rotate on the f32 value (32-bit only op), store bf16 —
+            # halves the vb footprint against the 16 MB VMEM ceiling
+            vb_ref[:, :] = pltpu.roll(
+                xn_ref[:, :], shift=L - b, axis=1).astype(jnp.bfloat16)
+        for a in range(4):
             k = a * 4 + b
-            p_ref[CH * k:CH * (k + 1), :] = \
-                xn_ref[:, pl.ds(base + a * W2 + b, S_PAD)]
+            sl = pl.ds(base + a * STRIDE, S_BLK)
+            p_ref[CH * k:CH * (k + 1), :] = (
+                xn_ref[:, sl].astype(jnp.bfloat16) if b == 0
+                else vb_ref[:, sl])
     o_ref[0, 0] = jnp.dot(
         w_ref[:], p_ref[:],
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -85,36 +107,38 @@ def _stem_pallas_call(x12, w2, scal, *, interpret=False):
     B = x12.shape[0]
     return pl.pallas_call(
         _stem_kernel,
-        grid=(B, 2),
+        grid=(B, N_BLK),
         in_specs=[
             pl.BlockSpec((1, 2), lambda b, h: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, CH, L_PAD), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((1, CH, L), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, K), lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 20, S_PAD),
+        out_specs=pl.BlockSpec((1, 1, 20, S_BLK),
                                lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2, 20, S_PAD), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((B, N_BLK, 20, S_BLK), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((CH, L_PAD), jnp.bfloat16),
-            pltpu.VMEM((K, S_PAD), jnp.bfloat16),
+            pltpu.VMEM((CH, L), jnp.float32),
+            pltpu.VMEM((CH, L), jnp.bfloat16),
+            pltpu.VMEM((K, S_BLK), jnp.bfloat16),
         ],
         interpret=interpret,
     )(scal, x12, w2)
 
 
 def _prep_x12(x_u8):
-    """[B, 300, 300, 3] u8 -> [B, CH, L_PAD] u8 channel-major s2d planes."""
+    """[B, 300, 300, 3] u8 -> [B, CH, L] u8 channel-major s2d planes,
+    each plane row lane-padded from 153 to STRIDE columns."""
     B = x_u8.shape[0]
     xp = jnp.pad(x_u8, ((0, 0), (3, 3), (3, 3), (0, 0)))
     y = xp.reshape(B, W2, 2, W2, 2, 3)
     y = y.transpose(0, 2, 4, 5, 1, 3)           # [B, 2, 2, 3, W2, W2]
-    y = y.reshape(B, 12, PLANE)
-    y = jnp.pad(y, ((0, 0), (0, CH - 12), (0, L_PAD - PLANE)))
-    return y
+    y = y.reshape(B, 12, W2, W2)
+    y = jnp.pad(y, ((0, 0), (0, CH - 12), (0, 0), (0, STRIDE - W2)))
+    return y.reshape(B, CH, L)
 
 
 def _w2_index_maps():
@@ -165,10 +189,9 @@ def stem_u8_conv(conv1, x_u8, *, alpha, beta, interpret=False):
     scal = jnp.asarray([[alpha, beta]], jnp.float32)
     out = _stem_pallas_call(x12, w2, scal, interpret=interpret)
     B = x_u8.shape[0]
-    out = out[:, :, :, :S_HALF]                   # [B, 2, 20, S_HALF]
-    out = out.transpose(0, 2, 1, 3).reshape(B, 20, 2 * S_HALF)
-    out = out.reshape(B, 20, OUT, W2)[..., :OUT]
-    out = out.transpose(0, 2, 3, 1).astype(jnp.float32)  # NHWC
+    out = out.reshape(B, N_BLK, 20, BLK_ROWS, STRIDE)[..., :OUT]
+    out = out.transpose(0, 1, 3, 4, 2)            # [B, blk, r, c, 20]
+    out = out.reshape(B, OUT, OUT, 20).astype(jnp.float32)  # NHWC
     out = out + conv1["b"].astype(jnp.float32)
     if beta:
         # pads held `beta` instead of 0: subtract beta * (S - C1), where

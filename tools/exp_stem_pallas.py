@@ -9,7 +9,13 @@ B = ops/pallas_stem.stem_u8_conv (implicit-GEMM halo kernel) + XLA tail.
 C = stem-only variants (just the stem, no residual tail), to isolate the
     stem delta from the tail's shared cost.
 
-Run:  python tools/exp_stem_pallas.py [--k 3] [--batch 4096] [--rounds 4]
+Run:  python tools/exp_stem_pallas.py [--k 6] [--batch 2048] [--rounds 4]
+
+Geometry note: the headline bench scans 3x4096; here both variants scan
+6x2048 (same 12288 tiles/dispatch) because the pallas variant's stride-
+256-padded stem output (6.3 GB at B=4096, before unpack) plus the scan
+transients exceed the 15.75 GB HBM — B=2048 fits both variants and the
+A/B stays internally consistent.
 """
 
 import argparse
@@ -86,8 +92,8 @@ def build_variants(params):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--k", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--k", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--rounds", type=int, default=4)
     args = ap.parse_args()
     K, B = args.k, args.batch
