@@ -520,12 +520,13 @@ def bench_multislide_sharded(quick: bool, no_baseline: bool = False):
     B = max(2, n_dev)
     T, res = (16, 64) if small else (64, TILE_RES)
     iters = 2 if small else 3
-    rng = np.random.default_rng(0)
     mesh = M.make_mesh(n_dev) if n_dev > 1 else None
     _progress(f"config 5: compiling ({B}x{T} bags @ {res}px, "
               f"{n_dev} devices)")
     infer = inference.make_batched_infer(cfg, mesh)
-    base_tiles = jnp.asarray(rng.random((B, T, res, res, 3)), jnp.float32)
+    base_tiles = jax.jit(
+        lambda k: jax.random.uniform(k, (B, T, res, res, 3), jnp.float32)
+    )(jax.random.PRNGKey(0))
     masks = jnp.ones((B, T), jnp.float32)
     # fresh device-resident inputs per execution (see _staged_inputs)
     variants = _staged_inputs(base_tiles, iters)
@@ -596,13 +597,21 @@ def bench_train_step(quick: bool, no_baseline: bool = False):
     state = steps.init_train_state(params)
     train_step = steps.make_train_step(cfg, compute_dtype=jnp.bfloat16,
                                        donate=False)
-    rng = np.random.default_rng(0)
-    tiles = jnp.asarray(rng.random((B, T, res, res, 3)), jnp.float32)
+    _progress("config 6: params+opt state initialized")
+    # device-side input generation: the old np.asarray path shipped a
+    # 5.5 GB f32 array over the tunnel H2D (~7 min at ~13 MB/s) — which
+    # masqueraded as "compile time" (the step's XLA compile is ~13 s)
+    tiles = jax.jit(
+        lambda k: jax.random.uniform(k, (B, T, res, res, 3), jnp.float32)
+    )(jax.random.PRNGKey(0))
     masks = jnp.ones((B, T), jnp.float32)
     labels = jnp.zeros((B,), jnp.int32)
     lr = jnp.float32(2e-4)
+    jax.block_until_ready(tiles)
+    _progress("config 6: inputs on device")
     _, m = train_step(state, tiles, masks, labels, lr, jax.random.PRNGKey(0))
     float(m["loss"])  # compile + warmup
+    _progress("config 6: warmup step done")
     iters = 1 if small else 3
     mk = jax.jit(lambda b, i: b * (1.0 + 1e-3 * i))
     times = []
