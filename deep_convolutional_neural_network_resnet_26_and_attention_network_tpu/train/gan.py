@@ -61,23 +61,44 @@ def accumulate(ema_params, params, decay: float = 0.999):
         lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
 def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
-                loss_kind: str = "wgan-gp", tx=None):
+                loss_kind: str = "wgan-gp", tx=None, compute_dtype=None):
     """``loss_kind`` only switches the GENERATOR objective: the vendored
     reference has no discriminator-side r1 branch (train.py:99-132 guards
     every D term with ``loss == 'wgan-gp'``; only the G loss at :150-153
     switches to softplus) — under --loss r1 the reference's D trains with
-    the WGAN-GP critic loss, and we keep that quirk for parity."""
+    the WGAN-GP critic loss, and we keep that quirk for parity.
+
+    ``compute_dtype`` (opt-in, e.g. jnp.bfloat16) runs G/D forwards and
+    backwards in mixed precision: params/activations cast at loss entry,
+    master params + Adam state + loss terms + the gradient-penalty norm
+    stay f32 (the sqrt of a sum of squares is the one numerically fragile
+    piece). f32 remains the default — reference parity."""
     tx = tx or make_optimizers(0.001)
 
     def d_loss_fn(params_d, params_g, real, zs, sel, alpha, rng):
+        if compute_dtype is not None:
+            params_d = _cast_tree(params_d, compute_dtype)
+            params_g = _cast_tree(params_g, compute_dtype)
+            real = real.astype(compute_dtype)
+            zs = zs.astype(compute_dtype)
+            alpha = jnp.asarray(alpha, compute_dtype)
         r_drop, r_noise, r_eps, r_drop2, r_drop3 = jax.random.split(rng, 5)
         real_predict = sg.apply_discriminator(
             params_d, real, step=step, alpha=alpha, width_mult=width_mult,
             from_rgb_activate=from_rgb_activate, train=True, rng=r_drop)
+        real_predict = real_predict.astype(jnp.float32)
         real_term = real_predict.mean() - 0.001 * (real_predict ** 2).mean()
 
         noise = sg.make_noise(r_noise, real.shape[0], step)
+        if compute_dtype is not None:
+            noise = [n.astype(compute_dtype) for n in noise]
         fake = sg.apply_styled_generator(
             params_g, zs, noise, step=step, alpha=alpha, style_sel=sel,
             width_mult=width_mult)
@@ -85,20 +106,21 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
         fake_predict = sg.apply_discriminator(
             params_d, fake, step=step, alpha=alpha, width_mult=width_mult,
             from_rgb_activate=from_rgb_activate, train=True, rng=r_drop2)
-        fake_term = fake_predict.mean()
+        fake_term = fake_predict.astype(jnp.float32).mean()
 
         # gradient penalty on the real/fake interpolate
         # (reference: train.py:121-132)
-        eps = jax.random.uniform(r_eps, (real.shape[0], 1, 1, 1))
+        eps = jax.random.uniform(r_eps, (real.shape[0], 1, 1, 1),
+                                 dtype=real.dtype)
         x_hat = eps * real + (1 - eps) * fake
 
         def d_sum(xh):
             return sg.apply_discriminator(
                 params_d, xh, step=step, alpha=alpha, width_mult=width_mult,
                 from_rgb_activate=from_rgb_activate, train=True,
-                rng=r_drop3).sum()
+                rng=r_drop3).astype(jnp.float32).sum()
 
-        grad_x_hat = jax.grad(d_sum)(x_hat)
+        grad_x_hat = jax.grad(d_sum)(x_hat).astype(jnp.float32)
         norms = jnp.sqrt(
             (grad_x_hat.reshape(grad_x_hat.shape[0], -1) ** 2).sum(axis=1))
         grad_penalty = 10.0 * ((norms - 1.0) ** 2).mean()
@@ -120,18 +142,26 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
 
 
 def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
-                loss_kind: str = "wgan-gp", tx=None):
+                loss_kind: str = "wgan-gp", tx=None, compute_dtype=None):
     tx = tx or make_optimizers(0.001)
 
     def g_loss_fn(params_g, params_d, zs, sel, alpha, rng):
+        if compute_dtype is not None:
+            params_g = _cast_tree(params_g, compute_dtype)
+            params_d = _cast_tree(params_d, compute_dtype)
+            zs = zs.astype(compute_dtype)
+            alpha = jnp.asarray(alpha, compute_dtype)
         r_noise, r_drop = jax.random.split(rng)
         noise = sg.make_noise(r_noise, zs.shape[1], step)
+        if compute_dtype is not None:
+            noise = [n.astype(compute_dtype) for n in noise]
         fake = sg.apply_styled_generator(
             params_g, zs, noise, step=step, alpha=alpha, style_sel=sel,
             width_mult=width_mult)
         predict = sg.apply_discriminator(
             params_d, fake, step=step, alpha=alpha, width_mult=width_mult,
-            from_rgb_activate=from_rgb_activate, train=True, rng=r_drop)
+            from_rgb_activate=from_rgb_activate, train=True,
+            rng=r_drop).astype(jnp.float32)
         if loss_kind == "r1":
             return jax.nn.softplus(-predict).mean(), {}
         return (-predict).mean(), {}
@@ -257,6 +287,12 @@ def build_argparser():
     p.add_argument("--max_batches", default=None, type=int,
                    help="cap batches per epoch (smoke tests)")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--compute_dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="opt-in mixed precision for the G/D forward+"
+                        "backward (master params, Adam state, loss terms "
+                        "and the GP norm stay f32). f32 is the reference-"
+                        "parity default; bf16 taps the MXU's 4x bf16 rate")
     p.add_argument("--profile", action="store_true",
                    help="XProf device trace of the first epoch into "
                         "<output_dir>/profile/ + per-batch percentiles and "
@@ -330,13 +366,15 @@ def train_gan(args):
         rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
 
         if step not in step_fns:
+            cdt = (jnp.bfloat16 if getattr(args, "compute_dtype", "f32")
+                   == "bf16" else None)
             step_fns[step] = (
                 make_d_step(step, width_mult=width,
                             from_rgb_activate=from_rgb_activate,
-                            loss_kind=args.loss, tx=tx),
+                            loss_kind=args.loss, tx=tx, compute_dtype=cdt),
                 make_g_step(step, width_mult=width,
                             from_rgb_activate=from_rgb_activate,
-                            loss_kind=args.loss, tx=tx),
+                            loss_kind=args.loss, tx=tx, compute_dtype=cdt),
             )
         d_step, g_step = step_fns[step]
 

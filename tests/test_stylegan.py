@@ -447,3 +447,45 @@ def test_gan_resume_is_bit_exact(image_dir, tmp_path):
     assert sorted(a.files) == sorted(b.files)
     for k in a.files:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_bf16_steps_finite_and_update():
+    """Opt-in mixed precision (--compute_dtype bf16): one d_step and one
+    g_step at bf16 compute produce finite f32 losses and actually move the
+    f32 master params; master params/opt state stay f32 throughout."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    step = 1  # 8px
+    k_g, k_d = jax.random.split(jax.random.PRNGKey(0))
+    params_g = sg.init_styled_generator(k_g, width_mult=WM)
+    params_d = sg.init_discriminator(k_d, width_mult=WM)
+    tx = gan.make_optimizers()
+    opt_g, opt_d = tx.init(params_g), tx.init(params_d)
+    d_step = gan.make_d_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx, compute_dtype=jnp.bfloat16)
+    g_step = gan.make_g_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx, compute_dtype=jnp.bfloat16)
+    n_blocks = len(sg._gen_layout(WM))
+    sel = jnp.zeros((n_blocks,), jnp.int32)
+    real = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    zs = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 512))
+    pd, od, aux = d_step(params_d, opt_d, params_g, real, zs, sel,
+                         jnp.float32(0.5), jnp.float32(1e-3),
+                         jax.random.PRNGKey(3))
+    pg, og, ema, gl = g_step(params_g, opt_g, params_g, pd, zs, sel,
+                             jnp.float32(0.5), jnp.float32(1e-3),
+                             jax.random.PRNGKey(4))
+    assert np.isfinite(float(aux["disc_loss"]))
+    assert np.isfinite(float(aux["grad_penalty"]))
+    assert np.isfinite(float(gl))
+    for tree in (pd, pg):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert leaf.dtype == jnp.float32
+            assert np.all(np.isfinite(np.asarray(leaf)))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params_d),
+                        jax.tree_util.tree_leaves(pd)))
+    assert moved

@@ -35,7 +35,7 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train
 )
 
 
-def build_timed(res, batch, width):
+def build_timed(res, batch, width, compute_dtype=None):
     step = int(math.log2(res)) - 2
     k_g, k_d = jax.random.split(jax.random.PRNGKey(0))
     params_g = sg.init_styled_generator(k_g, width_mult=width)
@@ -49,9 +49,9 @@ def build_timed(res, batch, width):
     lr = jnp.float32(0.001)
 
     d_step = gan.make_d_step(step, width_mult=width, from_rgb_activate=True,
-                             tx=tx)
+                             tx=tx, compute_dtype=compute_dtype)
     g_step = gan.make_g_step(step, width_mult=width, from_rgb_activate=True,
-                             tx=tx)
+                             tx=tx, compute_dtype=compute_dtype)
 
     @jax.jit
     def g_fwd(pg, zs, key):
@@ -187,9 +187,13 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--width", type=float, default=1.0)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="compute dtype for d_step/g_step (the full-step "
+                    "rows only; the standalone fwd/grad rows stay f32)")
     args = ap.parse_args()
 
-    built = build_timed(args.res, args.batch, args.width)
+    cdt = {"f32": None, "bf16": jnp.bfloat16}[args.dtype]
+    built = build_timed(args.res, args.batch, args.width, compute_dtype=cdt)
     times = time_fns(built["fns"], args.res, args.batch, args.rounds)
     print(f"\n== per-piece medians (res {args.res}, batch {args.batch}, "
           f"width x{args.width}) ==")
