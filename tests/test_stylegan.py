@@ -79,6 +79,18 @@ def test_blur_matches_torch_depthwise():
     want = F.conv2d(xt, k, padding=1, groups=3).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, atol=1e-5)
 
+    # gradient parity: the separable shift-add form's autodiff VJP must
+    # equal torch's depthwise-conv backward (the reference implements this
+    # by hand as BlurFunctionBackward, model.py:141-162)
+    ct = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    _, vjp = jax.vjp(sg.blur, jnp.asarray(x))
+    got_g = np.asarray(vjp(jnp.asarray(ct))[0])
+    xt_g = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    out = F.conv2d(xt_g, k, padding=1, groups=3)
+    out.backward(torch.from_numpy(ct.transpose(0, 3, 1, 2)))
+    want_g = xt_g.grad.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got_g, want_g, atol=1e-5)
+
 
 def test_pixel_and_instance_norm():
     rng = np.random.default_rng(3)
