@@ -100,11 +100,18 @@ def main():
                        chain_secs={k: round(v, 3) for k, v in extra.items()})
             out["healthy"] = val >= args.min_tflops
     if proc.is_alive():
-        proc.terminate()
+        # a probe stuck in an uninterruptible tunnel syscall survives
+        # SIGTERM; SIGKILL it and skip interpreter teardown entirely so
+        # multiprocessing's atexit join cannot hang the report
+        proc.kill()
     out["probe_secs"] = round(time.time() - t0, 1)
-    print(json.dumps(out))
-    return 0 if out["healthy"] else 1
+    print(json.dumps(out), flush=True)
+    sys.stdout.flush()
+    q.close()
+    q.cancel_join_thread()
+    import os
+    os._exit(0 if out["healthy"] else 1)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
