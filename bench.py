@@ -141,10 +141,14 @@ def _emit(metric, value, unit, vs_baseline=None, **extra):
     }
     for k, v in extra.items():
         rec[k] = round(float(v), 4) if isinstance(v, float) else v
-    if rec.get("mode") == "quick" and "note" not in rec:
-        rec["note"] = ("quick mode runs toy shapes where fixed dispatch "
-                       "overhead dominates; compare vs_baseline in full "
-                       "mode only")
+    # configs that shrank to toy shapes mark themselves small=True; only
+    # those runs get the comparability caveat (quick-on-TPU for configs
+    # 1/2/6 reuses the FULL program shapes, so its cached vs_baseline is
+    # meaningful and must not be disclaimed)
+    if rec.get("small") and "note" not in rec:
+        rec["note"] = ("toy shapes (CPU host or quick mode): fixed "
+                       "dispatch overhead dominates and vs_baseline is "
+                       "suppressed; compare full-mode TPU runs only")
     print(json.dumps(rec))
 
 
@@ -324,8 +328,11 @@ def bench_bag_inference(quick: bool, no_baseline: bool = False):
     params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
     T = 64
     # quick-on-TPU keeps the full program shape (shared compile cache);
-    # only CPU shrinks the resolution
-    res = 128 if platform == "cpu" else TILE_RES
+    # only CPU shrinks the resolution — which makes the 300px torch
+    # baseline incomparable, so CPU runs read the cached baseline (never
+    # re-measure) and suppress vs_baseline
+    small = platform == "cpu"
+    res = 128 if small else TILE_RES
     iters = 3 if (quick or platform == "cpu") else 20
     _progress(f"config 2: compiling/warmup ({T}x{res}px bag)")
     base = jnp.asarray(np.random.rand(T, res, res, 3), jnp.float32)
@@ -342,11 +349,11 @@ def bench_bag_inference(quick: bool, no_baseline: bool = False):
     bags_per_sec = iters / (time.perf_counter() - t0)
     base_v, src = _baseline(
         "2", lambda: _torch_bag_baseline(cfg, T, TILE_RES),
-        quick=quick, no_baseline=no_baseline)
-    vs = bags_per_sec / base_v if base_v else None
+        quick=quick or small, no_baseline=no_baseline)
+    vs = bags_per_sec / base_v if base_v and not small else None
     _emit("attention_mil_64tile_bags_per_sec", bags_per_sec,
           f"bags/sec ({T}x{res}x{res}, bf16, pallas_pool={use_pallas}, "
-          f"{platform})", vs, mode=mode,
+          f"{platform})", vs, mode=mode, small=small,
           **({"baseline_source": src} if src else {}))
 
 
@@ -427,7 +434,7 @@ def bench_full_slide(quick: bool, no_baseline: bool = False):
     _emit("full_slide_pipeline_slides_per_min", 60.0 / total,
           f"slides/min ({builder.getsize()} tiles @ {roi}px, build "
           f"{build_secs:.2f}s + infer {infer_secs:.2f}s, {platform})",
-          vs, mode=mode,
+          vs, mode=mode, small=small,
           **({"baseline_source": src} if src else {}),
           note="infer is host-to-device-bound on tunnel hosts (~69MB raw "
                "tiles; see PROFILE.md H2D findings) — vs_baseline "
@@ -545,6 +552,7 @@ def bench_multislide_sharded(quick: bool, no_baseline: bool = False):
     _emit("sharded_multislide_tiles_per_sec", tiles_per_sec,
           f"tiles/sec ({B} bags x {T} tiles @ {res}px over {n_dev} "
           f"{platform} devices)", vs, mode=mode, n_devices=n_dev,
+          small=small,
           **({"baseline_source": src} if src else {}))
 
 
@@ -634,6 +642,7 @@ def bench_train_step(quick: bool, no_baseline: bool = False):
           f"tiles/sec ({B} bags x {T} tiles @ {res}px, bf16, "
           f"remat={cfg.remat}, {platform})", vs, mode=mode,
           sec_per_window=sec,
+          small=(platform == "cpu"),  # quick-on-TPU keeps full shapes
           **({"baseline_source": src} if src else {}))
 
 
@@ -741,11 +750,11 @@ def bench_gan_train(quick: bool, no_baseline: bool = False):
         imgs_per_sec = batch / float(np.median(times))
         base_v, src = _baseline(
             f"7@{res}", lambda r=res, s=step: _torch_gan_baseline(r, s),
-            quick=quick, no_baseline=no_baseline)
+            quick=quick or small, no_baseline=no_baseline)
         vs = imgs_per_sec / base_v if base_v and not small else None
         _emit("stylegan_train_imgs_per_sec", imgs_per_sec,
               f"imgs/sec (res {res}, batch {batch}, f32 wgan-gp d+g step, "
-              f"width x{width}, {platform})", vs, mode=mode,
+              f"width x{width}, {platform})", vs, mode=mode, small=small,
               resolution=res,
               **({"baseline_source": src} if src else {}))
 

@@ -281,15 +281,15 @@ class RoiBuilder:
             # fingerprint lands AFTER the data (a kill between the two
             # leaves a fingerprint-less cache, which reads as stale)
             tmp = "{0}.{1}.tmp.npy".format(path, os.getpid())
+            tmp_fp = "{0}.{1}.tmp".format(fp_path, os.getpid())
             try:
                 np.save(tmp, np.asarray(out))
                 os.replace(tmp, path)
-                tmp_fp = "{0}.{1}.tmp".format(fp_path, os.getpid())
                 with open(tmp_fp, "w") as f:
                     f.write(self._raw_cache_fingerprint())
                 os.replace(tmp_fp, fp_path)
             except OSError:
-                for t in (tmp, ):
+                for t in (tmp, tmp_fp):
                     if os.path.isfile(t):
                         os.unlink(t)
         return out

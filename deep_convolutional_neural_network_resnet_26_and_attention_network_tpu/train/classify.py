@@ -136,8 +136,10 @@ class Driver:
         os.makedirs(self.heat_dir, exist_ok=True)
         self.compute_dtype = None if args.f32 else jnp.bfloat16
         # per-run streaming threshold (--stream_tiles); the class attribute
-        # keeps the pre-flag default for direct Driver construction
-        if getattr(args, "stream_tiles", None):
+        # keeps the pre-flag default for direct Driver construction.
+        # `is not None` so --stream_tiles 0 (force-stream every slide)
+        # is honored rather than silently falling back to the default
+        if getattr(args, "stream_tiles", None) is not None:
             self.interface_stream_tiles = int(args.stream_tiles)
 
         params = amil.init_attention_mil(jax.random.PRNGKey(args.seed), cfg)

@@ -85,10 +85,16 @@ def main():
     stages = 0
     while time.time() < deadline and stages < 3:
         try:
-            name, val, extra = q.get(timeout=max(0.1,
-                                                 deadline - time.time()))
+            # short poll so a child that died early (jax import failure,
+            # segfault) is noticed immediately instead of sleeping the
+            # whole budget waiting on a queue nothing will ever feed
+            name, val, extra = q.get(timeout=min(
+                2.0, max(0.1, deadline - time.time())))
         except Exception:
-            break
+            if not proc.is_alive() and q.empty():
+                out.setdefault("probe_exitcode", proc.exitcode)
+                break
+            continue
         stages += 1
         if name == "devices":
             out.update(stage="listed", device=val,
