@@ -177,12 +177,37 @@ def quantize_and_calibrate(params, calib_tiles):
     return quantize_resnet26(params), calibrate_resnet26(params, calib_tiles)
 
 
-def make_int8_extractor(cnn_params, calib_tiles):
+def make_int8_transform_extract(cnn_params, calib_tiles, resolution: int,
+                                *, qp_sc=None):
+    """Per-chunk streaming program for the int8 serving path: raw uint8
+    tiles -> eval_transform -> int8 forward, one jitted dispatch. Drop-in
+    for ``parallel.inference.classify_slide_streaming(...,
+    transform_extract=...)`` — same ``(cnn, raw_u8) -> [N, L]`` contract
+    as the default fused program (the live cnn arg is ignored; quantized
+    weights are baked at build time)."""
+    import jax
+
+    from ..data import transforms
+
+    qp, sc = (qp_sc if qp_sc is not None
+              else quantize_and_calibrate(cnn_params, calib_tiles))
+
+    @jax.jit
+    def run(_cnn_params_unused, raw_u8):
+        tiles = transforms.eval_transform(raw_u8, resolution=resolution)
+        return apply_resnet26_int8(qp, sc, tiles)
+
+    return run
+
+
+def make_int8_extractor(cnn_params, calib_tiles, *, qp_sc=None):
     """Quantize + calibrate once, return an ``extractor`` callable for
     ``apply_attention_mil(..., extractor=...)`` (the pluggable tile
     embedder). The returned closure ignores the live cnn params — the
-    quantized weights are baked at build time (serving semantics)."""
-    qp, sc = quantize_and_calibrate(cnn_params, calib_tiles)
+    quantized weights are baked at build time (serving semantics).
+    Pass ``qp_sc`` to share one calibration across several closures."""
+    qp, sc = (qp_sc if qp_sc is not None
+              else quantize_and_calibrate(cnn_params, calib_tiles))
 
     def extract(_cnn_params_unused, tiles):
         return apply_resnet26_int8(qp, sc, tiles)

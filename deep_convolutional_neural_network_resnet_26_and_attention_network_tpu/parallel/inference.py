@@ -85,7 +85,8 @@ def classify_slide(params, cfg: amil.MILConfig, builder, *,
 
 def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
                              resolution: int = 300, chunk: int = 1024,
-                             compute_dtype=jnp.bfloat16, mesh=None):
+                             compute_dtype=jnp.bfloat16, mesh=None,
+                             transform_extract=None):
     """Unbounded-slide inference: stream tile chunks through the extractor,
     then pool once over the tiny [T, L] feature matrix.
 
@@ -117,7 +118,12 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
         raw = np.zeros((EMPTY_BAG_TILES, rs, rs, 3), np.uint8)
         coords = np.zeros((0, 2), np.int64)
 
-    extract = _cached_transform_extract(cfg, compute_dtype, resolution)
+    # caller-supplied per-chunk program (e.g. the int8 serving path's
+    # eval_transform -> apply_resnet26_int8, ops.quant) replaces the
+    # default fused transform+extract; same (cnn, raw_u8)->[N,L] contract.
+    # The caller owns its jit/caching — a closure can't key _FWD_CACHE.
+    extract = (transform_extract if transform_extract is not None
+               else _cached_transform_extract(cfg, compute_dtype, resolution))
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     # big chunks amortize the per-dispatch overhead, but a slide smaller

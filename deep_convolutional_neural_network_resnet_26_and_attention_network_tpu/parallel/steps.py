@@ -129,26 +129,31 @@ def make_train_step(cfg: amil.MILConfig, tx=None, *, compute_dtype=None,
 
 
 def make_bag_forward(cfg: amil.MILConfig, *, train: bool = False,
-                     compute_dtype=None, use_pallas_pool: bool = False):
+                     compute_dtype=None, use_pallas_pool: bool = False,
+                     extractor=None):
     """Jitted single-bag forward: fn(params, tiles, mask, label[, rng]) -> dict.
 
     Retraces once per padded bucket size; used by the sequential driver
     (validate / visualize / interface paths). ``use_pallas_pool`` switches
     either mode onto the fused Pallas pooling kernel (its custom VJP makes
-    it valid under training; oversized bags auto-fall back)."""
+    it valid under training; oversized bags auto-fall back). ``extractor``
+    swaps the tile embedder (e.g. the W8A8 int8 serving path,
+    ``ops.quant.make_int8_extractor``, or the legacy GAN discriminator)."""
 
     if train:
         def fwd(params, tiles, mask, label, rng):
             return amil.apply_attention_mil(params, tiles, label, cfg,
                                             mask=mask, train=True, rng=rng,
                                             compute_dtype=compute_dtype,
-                                            use_pallas_pool=use_pallas_pool)
+                                            use_pallas_pool=use_pallas_pool,
+                                            extractor=extractor)
     else:
         def fwd(params, tiles, mask, label):
             return amil.apply_attention_mil(params, tiles, label, cfg,
                                             mask=mask, train=False,
                                             compute_dtype=compute_dtype,
-                                            use_pallas_pool=use_pallas_pool)
+                                            use_pallas_pool=use_pallas_pool,
+                                            extractor=extractor)
     return jax.jit(fwd)
 
 

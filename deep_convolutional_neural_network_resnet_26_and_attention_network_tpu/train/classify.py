@@ -112,6 +112,14 @@ def build_argparser():
                         "instead of materializing the padded f32 bag on "
                         "device; lower it on smaller-HBM parts or larger "
                         "resolutions")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the extractor W8A8 int8-quantized "
+                        "(ops/quant.py): per-channel int8 weights + "
+                        "activation scales calibrated on cohort tiles. "
+                        "Serving-only (--interface / --test_only); measure "
+                        "probability drift on your checkpoint first")
+    p.add_argument("--int8_calib", default=256, type=int,
+                   help="calibration tiles for the --int8 activation scales")
     return p
 
 
@@ -168,6 +176,43 @@ class Driver:
                 cfg, self.tx, compute_dtype=self.compute_dtype, donate=False)
             self.state = steps.replicate_state(self.mesh, self.state)
             print(f"Mesh training over {dict(self.mesh.shape)}")
+
+    def enable_int8(self, builders):
+        """Swap the eval + streaming extractor for the W8A8 int8 serving
+        path (ops/quant.py): quantize the (restored) cnn weights once,
+        calibrate activation scales on real eval-transformed tiles from
+        the cohort, and rebuild ``fwd_eval`` and the streaming per-chunk
+        program around the quantized forward. Serving-only — the
+        quantized closure bakes weights at build time and ignores live
+        params, so it is never valid under training."""
+        from ..ops import quant
+
+        want = max(int(getattr(self.args, "int8_calib", 256)), 1)
+        # calibration only needs representative tiles — skip oversized
+        # slides whose full eval transform would dwarf the quantize step
+        small = [b for b in builders
+                 if b.getsize() <= max(self.interface_stream_tiles, want)]
+        chunks, n = [], 0
+        for b in small or builders[:1]:
+            if (b.params.get("resolution") != self.args.resolution
+                    or "VALID-READY" not in b.params["status"]):
+                b.update_resolution_and_buffer(self.args.resolution)
+            tiles = np.asarray(b.get_validation_data())[: want - n]
+            chunks.append(tiles)
+            n += tiles.shape[0]
+            if n >= want:
+                break
+        if n == 0:
+            raise RuntimeError("--int8: no slides available to calibrate on")
+        calib = jnp.asarray(np.concatenate(chunks, axis=0))
+        cnn = self.state.params["cnn"]
+        qp_sc = quant.quantize_and_calibrate(cnn, calib)
+        self.fwd_eval = steps.make_bag_forward(
+            self.cfg, train=False, compute_dtype=self.compute_dtype,
+            extractor=quant.make_int8_extractor(cnn, calib, qp_sc=qp_sc))
+        self._int8_transform_extract = quant.make_int8_transform_extract(
+            cnn, calib, self.args.resolution, qp_sc=qp_sc)
+        print(f"int8: W8A8 extractor armed ({n} calibration tiles)")
 
     def epoch_key(self, epoch: int, *, validate: bool = False):
         """Epoch-derived rng root: every stochastic stream of epoch E is a
@@ -428,7 +473,9 @@ class Driver:
                 _, souts, _ = inference.classify_slide_streaming(
                     self.state.params, self.cfg, payload,
                     resolution=self.args.resolution,
-                    compute_dtype=self.compute_dtype, mesh=self.mesh)
+                    compute_dtype=self.compute_dtype, mesh=self.mesh,
+                    transform_extract=getattr(
+                        self, "_int8_transform_extract", None))
                 outs = inference.streaming_eval_outputs(souts, label,
                                                         self.cfg)
                 n_streamed += 1
@@ -549,7 +596,9 @@ class Driver:
                     _, outs, raster = inference.classify_slide_streaming(
                         self.state.params, self.cfg, builder,
                         resolution=self.args.resolution,
-                        compute_dtype=self.compute_dtype, mesh=self.mesh)
+                        compute_dtype=self.compute_dtype, mesh=self.mesh,
+                        transform_extract=getattr(
+                            self, "_int8_transform_extract", None))
                     T = raster.shape[0]
                 else:
                     tiles, mask = bag
@@ -662,6 +711,23 @@ def main(argv=None):
                 driver.state.opt_state, args.ckpt)
             if ok:
                 driver.state = driver.state._replace(opt_state=opt_state)
+
+    if args.int8:
+        if not (args.interface or args.test_only):
+            print("error: --int8 is a serving path; use it with "
+                  "--interface or --test_only", file=sys.stderr)
+            return 2
+        if (args.test_only
+                and schedule.stage_for_epoch(args.epoch_start,
+                                             test=True).train_mode):
+            # pre-Check stages validate normal bags with train-mode
+            # stochasticity (reference parity) — that path keeps the f32
+            # extractor, so only streamed oversized bags would quantize
+            print("note: --test_only at a pre-Check epoch uses the "
+                  "train-mode forward for normal bags; --int8 applies "
+                  "only to the eval/streaming paths")
+        driver.enable_int8(list(dataset.test_slide_builders)
+                           or list(getattr(dataset, "all_builders", [])))
 
     if args.peak:
         driver.peak(dataset)

@@ -337,6 +337,52 @@ def test_classify_cli_interface_mode(synthetic_tree, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_classify_cli_int8_serving(synthetic_tree, tmp_path, monkeypatch):
+    """--int8 W8A8 serving: interface mode with a forced-streaming
+    threshold exercises BOTH quantized paths — the padded-bag eval
+    forward (visualize, extractor=) and the streamed per-chunk program
+    (transform_extract=) — and --test_only runs the quantized validate;
+    training mode refuses the flag."""
+    import pandas as pd
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    common = [
+        "--arch", "tiny", "--resolution", "16",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32",
+        "--int8", "--int8_calib", "32",
+    ]
+    rc = classify.main(["--tag", "I8", "--interface", "--n_vis", "1",
+                        "--stream_tiles", "8"] + common)
+    assert rc == 0
+    iface = out_root / "interface_data"
+    assert (iface / "GBMresult_probs_class.csv").exists()
+    probs = pd.read_csv(iface / "GBMresult_probs_class.csv", index_col=0)
+    vals = probs.to_numpy(np.float64)
+    assert np.isfinite(vals).all()
+    # first 3 columns are class probs from the quantized forward
+    assert np.allclose(vals[:, :3].sum(axis=1), 1.0, atol=1e-4)
+
+    # --test_only at a post-Check epoch: every normal bag goes through
+    # the quantized fwd_eval
+    rc = classify.main(["--tag", "I8V", "--test_only",
+                        "--epoch_start", "200"] + common)
+    assert rc == 0
+
+    # training mode refuses the serving-only flag
+    rc = classify.main(["--tag", "I8T", "--epoch_start", "0",
+                        "--epoch_end", "0"] + common)
+    assert rc == 2
+
+
+@pytest.mark.slow
 def test_classify_cli_mesh_training(synthetic_tree, tmp_path, monkeypatch):
     """--mesh N: accumulation windows run as sharded batched steps."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
