@@ -1,0 +1,254 @@
+"""Persistent slide-inference service (serving daemon).
+
+Beyond-reference serving surface for production deployment: a
+long-running process that watches a directory (or reads a manifest file)
+for whole-slide images, builds or reuses the RoiBuilder tile cache, runs
+the attention-MIL classifier, and appends one ``results.csv`` row plus
+caMicroscope ``.dla`` attention maps per slide. The reference's closest
+surface is the one-shot caMicroscope interface mode
+(gbm/classify_combined.py:221-298); this reshapes it into a restartable
+service with the same artifact formats.
+
+TPU-serving design points:
+
+  * **one code path** — every slide goes through
+    ``parallel.inference.classify_slide_streaming``: exact for any bag
+    size (MIL pooling is linear over tiles), bounded device memory (one
+    chunk + the [T, L] features resident), mesh-composable
+    (``--mesh N`` shards each chunk's tile axis), and extractor-swappable
+    (``--int8`` serves the W8A8 path, ops/quant.py);
+  * **compiled programs stay warm** — chunk shapes come off the bucket
+    ladder, so steady-state latency after the first few slides is pure
+    compute + IO, never compile;
+  * **idempotent restarts** — processed basenames persist to
+    ``processed.txt`` (append + fsync per slide); a crashed or restarted
+    daemon never re-classifies or double-writes a slide.
+
+Run::
+
+    python -m ...train.serve --ckpt run_R1/train_step-340.model \
+        --watch_dir /incoming/slides --out_root serve_out [--int8]
+    python -m ...train.serve --ckpt ... --manifest slides.txt --once
+"""
+
+import argparse
+import glob as globmod
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..data.roibuilder import RoiBuilder
+from ..models import attention_mil as amil
+from ..parallel import inference
+from ..train import checkpoint
+from ..utils import helpers
+from .classify import make_config
+
+SLIDE_EXTS = (".scn", ".svs", ".tif", ".tiff", ".npy")
+CSV_HEADER = ("name,prob_0,prob_1,prob_2,pred,Aterm_var,ntiles,secs\n")
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        description="watch-folder / manifest slide classification service")
+    p.add_argument("--ckpt", default=None,
+                   help="train_step-NNN.model checkpoint (random init with "
+                        "a warning if unset — smoke tests only)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--watch_dir",
+                     help="directory to poll for new slide files")
+    src.add_argument("--manifest",
+                     help="text file of slide paths (one per line); "
+                          "re-read every poll, so it may grow")
+    p.add_argument("--out_root", default="serve_data")
+    p.add_argument("--resolution", default=300, type=int)
+    p.add_argument("--roi_size", default=None, type=int)
+    p.add_argument("--arch", default="full", choices=["full", "tiny"])
+    p.add_argument("--stem", default="conv7", choices=["conv7", "s2d"])
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the W8A8 int8 extractor (ops/quant.py); "
+                        "activation scales calibrate on the first slide")
+    p.add_argument("--int8_calib", default=256, type=int)
+    p.add_argument("--chunk", default=1024, type=int,
+                   help="streaming chunk (tiles per dispatch)")
+    p.add_argument("--mesh", default=0, type=int,
+                   help="shard each chunk's tile axis over N devices")
+    p.add_argument("--poll_secs", default=5.0, type=float)
+    p.add_argument("--settle_secs", default=2.0, type=float,
+                   help="skip files modified more recently than this "
+                        "(mid-copy uploads)")
+    p.add_argument("--once", action="store_true",
+                   help="process the current backlog, then exit")
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+class SlideServer:
+    def __init__(self, args):
+        self.args = args
+        self.cfg = make_config(args)
+        self.compute_dtype = None if args.f32 else jnp.bfloat16
+        os.makedirs(args.out_root, exist_ok=True)
+        self.results_path = os.path.join(args.out_root, "results.csv")
+        self.processed_path = os.path.join(args.out_root, "processed.txt")
+
+        import jax
+
+        params = amil.init_attention_mil(jax.random.PRNGKey(args.seed),
+                                         self.cfg)
+        if args.ckpt:
+            params, loaded, skipped = checkpoint.restore_params(
+                params, args.ckpt)
+            print(f"serve: loaded {len(loaded)} tensors "
+                  f"({len(skipped)} skipped) from {args.ckpt}")
+        else:
+            print("serve: WARNING — no --ckpt, classifying with random "
+                  "weights (smoke-test mode)")
+        self.params = params
+
+        self.mesh = None
+        if args.mesh:
+            from ..parallel import mesh as M
+
+            self.mesh = M.make_mesh(args.mesh)
+            print(f"serve: chunks shard over {dict(self.mesh.shape)}")
+
+        # int8 calibrates lazily on the first slide's eval tiles — a
+        # daemon has no cohort upfront (the classify driver's --int8
+        # calibrates eagerly on the dataset instead)
+        self._transform_extract = None
+        self._int8_pending = bool(args.int8)
+
+        self.processed = set()
+        if os.path.isfile(self.processed_path):
+            with open(self.processed_path) as f:
+                self.processed = {ln.strip() for ln in f if ln.strip()}
+        if not os.path.isfile(self.results_path):
+            with open(self.results_path, "w") as f:
+                f.write(CSV_HEADER)
+
+    # ------------------------------------------------------------------
+    def _ensure_int8(self, builder):
+        if not self._int8_pending:
+            return
+        from ..ops import quant
+
+        want = max(int(self.args.int8_calib), 1)
+        calib = jnp.asarray(
+            np.asarray(builder.get_validation_data())[:want])
+        self._transform_extract = quant.make_int8_transform_extract(
+            self.params["cnn"], calib, self.args.resolution)
+        self._int8_pending = False
+        print(f"serve: int8 W8A8 extractor armed "
+              f"({int(calib.shape[0])} calibration tiles from "
+              f"{builder.getname()})")
+
+    def _mark_processed(self, name: str):
+        self.processed.add(name)
+        with open(self.processed_path, "a") as f:
+            f.write(name + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    # ------------------------------------------------------------------
+    def process(self, path: str) -> bool:
+        """Classify one slide; returns False when it had to be skipped."""
+        t0 = time.perf_counter()
+        params = {"roi_size": self.args.roi_size} if self.args.roi_size \
+            else {}
+        builder = RoiBuilder(path, params)
+        name = builder.getname()
+        if "MISSING" in builder.params["status"]:
+            if not builder.build():
+                print(f"serve: {name}: cache build failed — skipped",
+                      file=sys.stderr)
+                return False
+        builder.update_resolution_and_buffer(self.args.resolution)
+        self._ensure_int8(builder)
+
+        probs, outs, raster = inference.classify_slide_streaming(
+            self.params, self.cfg, builder,
+            resolution=self.args.resolution, chunk=self.args.chunk,
+            compute_dtype=self.compute_dtype, mesh=self.mesh,
+            transform_extract=self._transform_extract)
+        T = raster.shape[0]
+        helpers.write_map(builder.getmeta(), 0, np.asarray(raster),
+                          np.asarray(outs["Aterm"])[:, :T],
+                          output_dir=self.args.out_root)
+        secs = time.perf_counter() - t0
+        with open(self.results_path, "a") as f:
+            f.write("{0},{1},{2},{3},{4},{5},{6},{7:.3f}\n".format(
+                name, *[f"{p:.6f}" for p in probs[:3]],
+                int(outs["y_pred_hat"]), float(outs["Aterm_var"]),
+                builder.getsize(), secs))
+            f.flush()
+        self._mark_processed(name)
+        print(f"serve: {name}: probs={np.round(probs, 4)} "
+              f"pred={int(outs['y_pred_hat'])} "
+              f"({builder.getsize()} tiles, {secs:.2f}s)")
+        return True
+
+    # ------------------------------------------------------------------
+    def pending(self):
+        """Slide paths not yet processed, oldest first."""
+        if self.args.watch_dir:
+            paths = [p for p in globmod.glob(
+                os.path.join(self.args.watch_dir, "*"))
+                if p.lower().endswith(SLIDE_EXTS)]
+        else:
+            paths = []
+            if os.path.isfile(self.args.manifest):
+                with open(self.args.manifest) as f:
+                    paths = [ln.strip() for ln in f if ln.strip()
+                             and not ln.startswith("#")]
+        now = time.time()
+        out = []
+        for p in paths:
+            name = os.path.split(p)[1].split(".")[0]
+            if name in self.processed or not os.path.isfile(p):
+                continue
+            if now - os.path.getmtime(p) < self.args.settle_secs:
+                continue  # likely mid-upload; next poll gets it
+            out.append(p)
+        out.sort(key=os.path.getmtime)
+        return out
+
+    def run(self) -> int:
+        n_total = 0
+        while True:
+            batch = self.pending()
+            for path in batch:
+                try:
+                    n_total += self.process(path)
+                except Exception as e:  # one bad slide must not kill the
+                    # daemon; it is NOT marked processed, so a fixed file
+                    # (or fixed code) picks it up on a later poll
+                    print(f"serve: ERROR on {path}: {e}", file=sys.stderr)
+            if self.args.once:
+                print(f"serve: backlog drained ({n_total} slides) — "
+                      "exiting (--once)")
+                return 0
+            time.sleep(self.args.poll_secs)
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    print(args)
+    from ..utils import compcache
+
+    compcache.enable()
+    server = SlideServer(args)
+    try:
+        return server.run()
+    except KeyboardInterrupt:
+        print("serve: interrupted — state is durable, restart resumes")
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

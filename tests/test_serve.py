@@ -1,0 +1,113 @@
+"""Serving daemon (train/serve.py): watch-folder + manifest modes,
+idempotent restarts, incremental pickup, and the int8 serving path.
+
+All slides route through classify_slide_streaming (exact for any bag
+size), so results must match the interface-mode forward numerics already
+pinned in test_pallas_and_inference.py — here we assert the service
+semantics: artifacts, durability, no double-processing.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def slide_tree(tmp_path, monkeypatch):
+    """Synthetic slides + prebuilt roi_size=32 caches (no labels needed —
+    serving is label-free)."""
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setenv("CACHE_DIR", str(cache))
+    slides = tmp_path / "slides"
+    slides.mkdir()
+    rng = np.random.default_rng(3)
+
+    def add_slide(name, ntiles=24):
+        path = slides / name
+        path.write_bytes(b"fake")
+        base = name.split(".")[0]
+        tiles = np.clip(
+            np.array([140, 60, 170], np.int16)
+            + rng.integers(-40, 40, (ntiles, 32, 32, 3)),
+            0, 255).astype(np.uint8)
+        coords = np.stack([[i * 32, 0] for i in range(ntiles)])
+        np.save(cache / f"data_{base}_rois_size32_hsvcut_v3.npy", tiles)
+        np.save(cache / f"coor_{base}_rois_size32_hsvcut_v3.npy", coords)
+        return path
+
+    for i in range(1, 4):
+        add_slide(f"GHP_{i}_A_H&E.scn")
+    return tmp_path, add_slide
+
+
+def _run(argv):
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        serve,
+    )
+
+    return serve.main(argv)
+
+
+def _rows(out_root):
+    with open(os.path.join(out_root, "results.csv")) as f:
+        return [ln for ln in f.read().splitlines()[1:] if ln]
+
+
+COMMON = ["--arch", "tiny", "--resolution", "16", "--roi_size", "32",
+          "--f32", "--once", "--settle_secs", "0", "--chunk", "16"]
+
+
+@pytest.mark.slow
+def test_serve_watch_dir_idempotent_and_incremental(slide_tree, tmp_path):
+    tree, add_slide = slide_tree
+    out = str(tmp_path / "serve_out")
+    argv = ["--watch_dir", str(tree / "slides"), "--out_root", out] + COMMON
+
+    assert _run(argv) == 0
+    rows = _rows(out)
+    assert len(rows) == 3
+    # one CSV row per slide: probs sum to 1, tile counts recorded
+    for ln in rows:
+        parts = ln.split(",")
+        assert abs(sum(float(p) for p in parts[1:4]) - 1.0) < 1e-4
+        assert int(parts[6]) == 24
+    dlas = [f for f in os.listdir(out) if f.endswith(".dla")]
+    assert len(dlas) >= 3  # >=1 ATTN map per slide
+    # every .dla line is "x y weight" over the slide raster
+    with open(os.path.join(out, dlas[0])) as f:
+        first = f.readline().split()
+    assert len(first) == 3
+
+    # restart with the same backlog: durable processed-set, nothing rerun
+    assert _run(argv) == 0
+    assert len(_rows(out)) == 3
+
+    # a new slide arriving later is picked up incrementally
+    add_slide("GHP_9_B_H&E.scn", ntiles=40)
+    assert _run(argv) == 0
+    rows = _rows(out)
+    assert len(rows) == 4
+    assert any(ln.startswith("GHP_9_B_H&E,") and ln.split(",")[6] == "40"
+               for ln in rows)
+
+
+@pytest.mark.slow
+def test_serve_manifest_int8(slide_tree, tmp_path):
+    tree, _ = slide_tree
+    out = str(tmp_path / "serve_i8")
+    manifest = tmp_path / "slides.txt"
+    names = sorted(os.listdir(tree / "slides"))[:2]
+    manifest.write_text(
+        "\n".join(str(tree / "slides" / n) for n in names) + "\n")
+
+    rc = _run(["--manifest", str(manifest), "--out_root", out,
+               "--int8", "--int8_calib", "16"] + COMMON)
+    assert rc == 0
+    rows = _rows(out)
+    assert len(rows) == 2
+    for ln in rows:
+        probs = [float(p) for p in ln.split(",")[1:4]]
+        assert abs(sum(probs) - 1.0) < 1e-4
+        assert all(np.isfinite(probs))
