@@ -90,6 +90,64 @@ def test_int8_extractor_slide_probability_drift():
     assert int(jnp.argmax(ref)) == int(jnp.argmax(out))
 
 
+@pytest.mark.slow
+def test_int8_drift_on_trained_net():
+    """Random-init drift is not serving evidence — a TRAINED net has
+    structured activations whose range the static scales must cover.
+    Train the tiny config to separate color-separable bags (the
+    test_learnability dynamics), quantize the trained extractor with
+    calibration tiles drawn from the same distribution, and require the
+    quantized serving path to agree: same argmax on every fresh bag,
+    probabilities within a tight drift bound."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        steps,
+    )
+
+    COLORS = {0: (150, 60, 170), 1: (80, 150, 90), 2: (70, 90, 180)}
+    rng = np.random.default_rng(0)
+
+    def bag(cls, t=24, res=16):
+        c = np.array(COLORS[cls], np.float32) / 127.5 - 1
+        return jnp.asarray(c + rng.normal(0, 0.2, (t, res, res, 3))
+                           .astype(np.float32))
+
+    cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+    state = steps.init_train_state(
+        amil.init_attention_mil(jax.random.PRNGKey(0), cfg))
+    grad_fn = steps.make_bag_grad(cfg)
+    acc = steps.make_accumulate()
+    apply_u = steps.make_apply_updates()
+    key = jax.random.PRNGKey(1)
+    for _ in range(150):
+        g = steps.zeros_like_grads(state.params)
+        for cls in range(3):
+            key, k = jax.random.split(key)
+            _, grads = grad_fn(state.params, bag(cls), jnp.ones((24,)),
+                               jnp.int32(cls), k)
+            g = acc(g, grads)
+        state = apply_u(state, g, jnp.float32(2e-4))
+
+    calib = jnp.concatenate([bag(c) for c in range(3)], axis=0)
+    ext = Q.make_int8_extractor(state.params["cnn"], calib)
+    fwd_f32 = steps.make_bag_forward(cfg)
+    fwd_i8 = steps.make_bag_forward(cfg, extractor=ext)
+
+    drifts = []
+    for cls in range(3):
+        for _ in range(4):
+            tiles = bag(cls)
+            ref = fwd_f32(state.params, tiles, jnp.ones((24,)),
+                          jnp.int32(cls))
+            out = fwd_i8(state.params, tiles, jnp.ones((24,)),
+                         jnp.int32(cls))
+            assert int(ref["y_pred_hat"]) == int(out["y_pred_hat"])
+            drifts.append(float(jnp.max(jnp.abs(ref["y_pred"]
+                                                - out["y_pred"]))))
+    # measured on this trained tiny net: max drift ~1e-3..1e-2 range;
+    # pin an order of magnitude of headroom
+    assert max(drifts) < 0.05, drifts
+
+
 def test_calibration_scales_share_block_input(full_width_setup):
     """conv1 and downsample of a transition block consume the same tensor;
     the scales pytree carries exactly one scale for it (no downsample key),
