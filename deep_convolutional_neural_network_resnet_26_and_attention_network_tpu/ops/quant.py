@@ -177,6 +177,25 @@ def quantize_and_calibrate(params, calib_tiles):
     return quantize_resnet26(params), calibrate_resnet26(params, calib_tiles)
 
 
+def calib_tiles_from_builder(builder, want: int, resolution: int):
+    """First ``want`` eval-transformed tiles of a slide WITHOUT
+    materializing the full bag: the raw uint8 cache is memory-mapped and
+    only the leading slice is transformed — safe on 50k-tile slides whose
+    full eval bag would exhaust host+device memory. Returns None for a
+    tile-less slide (calibrating on the zeros fallback would floor every
+    activation scale to 1e-8 and corrupt all subsequent predictions)."""
+    import numpy as np
+
+    raw = builder._load_cache(mmap=True)
+    n = min(int(want), int(raw.shape[0]))
+    if n == 0:
+        return None
+    from ..data import transforms
+
+    return transforms.eval_transform(jnp.asarray(np.asarray(raw[:n])),
+                                     resolution=resolution)
+
+
 def make_int8_transform_extract(cnn_params, calib_tiles, resolution: int,
                                 *, qp_sc=None):
     """Per-chunk streaming program for the int8 serving path: raw uint8

@@ -188,22 +188,23 @@ class Driver:
         from ..ops import quant
 
         want = max(int(getattr(self.args, "int8_calib", 256)), 1)
-        # calibration only needs representative tiles — skip oversized
-        # slides whose full eval transform would dwarf the quantize step
-        small = [b for b in builders
-                 if b.getsize() <= max(self.interface_stream_tiles, want)]
+        # capped mmap'd loads: only the leading slice of each raw cache is
+        # read+transformed, so an all-oversized cohort never materializes
+        # a full 50k-tile eval bag just to keep 256 calibration tiles;
+        # tile-less slides are skipped (zeros would floor the scales)
         chunks, n = [], 0
-        for b in small or builders[:1]:
-            if (b.params.get("resolution") != self.args.resolution
-                    or "VALID-READY" not in b.params["status"]):
-                b.update_resolution_and_buffer(self.args.resolution)
-            tiles = np.asarray(b.get_validation_data())[: want - n]
-            chunks.append(tiles)
-            n += tiles.shape[0]
+        for b in builders:
+            tiles = quant.calib_tiles_from_builder(
+                b, want - n, self.args.resolution)
+            if tiles is None:
+                continue
+            chunks.append(np.asarray(tiles))
+            n += chunks[-1].shape[0]
             if n >= want:
                 break
         if n == 0:
-            raise RuntimeError("--int8: no slides available to calibrate on")
+            raise RuntimeError("--int8: no slides with tiles available "
+                               "to calibrate on")
         calib = jnp.asarray(np.concatenate(chunks, axis=0))
         cnn = self.state.params["cnn"]
         qp_sc = quant.quantize_and_calibrate(cnn, calib)

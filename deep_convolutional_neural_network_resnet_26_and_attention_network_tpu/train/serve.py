@@ -21,8 +21,10 @@ TPU-serving design points:
     ladder, so steady-state latency after the first few slides is pure
     compute + IO, never compile;
   * **idempotent restarts** — processed basenames persist to
-    ``processed.txt`` (append + fsync per slide); a crashed or restarted
-    daemon never re-classifies or double-writes a slide.
+    ``processed.txt`` (append + fsync per slide), and startup reconciles
+    it against ``results.csv`` rows: a slide with a results row is never
+    re-classified or double-written; a crash mid-slide (before its CSV
+    row landed) redoes only that slide, overwriting its own ``.dla``.
 
 Run::
 
@@ -131,6 +133,19 @@ class SlideServer:
         if not os.path.isfile(self.results_path):
             with open(self.results_path, "w") as f:
                 f.write(CSV_HEADER)
+        else:
+            # reconcile: a crash between the results.csv append and the
+            # processed.txt marker would otherwise re-classify that slide
+            # on restart and leave a duplicate CSV row — a name with a
+            # results row has all its artifacts (.dla maps are written
+            # before the row), so adopt it as processed
+            with open(self.results_path) as f:
+                in_csv = {ln.split(",", 1)[0]
+                          for ln in f.read().splitlines()[1:] if ln}
+            for name in sorted(in_csv - self.processed):
+                print(f"serve: reconciled {name} (results row present, "
+                      "marker missing)")
+                self._mark_processed(name)
 
     # ------------------------------------------------------------------
     def _ensure_int8(self, builder):
@@ -138,9 +153,17 @@ class SlideServer:
             return
         from ..ops import quant
 
-        want = max(int(self.args.int8_calib), 1)
-        calib = jnp.asarray(
-            np.asarray(builder.get_validation_data())[:want])
+        # capped mmap'd load — never materializes an oversized slide's
+        # full eval bag for 256 calibration tiles; a tile-less first
+        # slide returns None and calibration stays pending for the next
+        # one (zeros would floor every activation scale)
+        calib = quant.calib_tiles_from_builder(
+            builder, max(int(self.args.int8_calib), 1),
+            self.args.resolution)
+        if calib is None:
+            print(f"serve: int8 calibration deferred — "
+                  f"{builder.getname()} has no tiles")
+            return
         self._transform_extract = quant.make_int8_transform_extract(
             self.params["cnn"], calib, self.args.resolution)
         self._int8_pending = False
@@ -157,12 +180,15 @@ class SlideServer:
 
     # ------------------------------------------------------------------
     def process(self, path: str) -> bool:
-        """Classify one slide; returns False when it had to be skipped."""
+        """Classify one slide. True = classified, False = failed (cache
+        build), None = already processed (skip, not a failure)."""
         t0 = time.perf_counter()
         params = {"roi_size": self.args.roi_size} if self.args.roi_size \
             else {}
         builder = RoiBuilder(path, params)
         name = builder.getname()
+        if name in self.processed:  # belt-and-braces vs pending() races
+            return None  # skip: neither processed nor failed
         if "MISSING" in builder.params["status"]:
             if not builder.build():
                 print(f"serve: {name}: cache build failed — skipped",
@@ -207,32 +233,45 @@ class SlideServer:
                     paths = [ln.strip() for ln in f if ln.strip()
                              and not ln.startswith("#")]
         now = time.time()
-        out = []
+        by_name = {}
         for p in paths:
             name = os.path.split(p)[1].split(".")[0]
-            if name in self.processed or not os.path.isfile(p):
+            if name in self.processed:
                 continue
-            if now - os.path.getmtime(p) < self.args.settle_secs:
+            try:  # files can vanish between the glob and the stat
+                # (atomic-rename upload tooling) — skip, next poll decides
+                mtime = os.path.getmtime(p)
+            except OSError:
+                continue
+            if now - mtime < self.args.settle_secs:
                 continue  # likely mid-upload; next poll gets it
-            out.append(p)
-        out.sort(key=os.path.getmtime)
-        return out
+            # one entry per basename (RoiBuilder keys caches on it):
+            # slide.svs + slide.tif in one batch would double-process;
+            # keep the oldest and let the marker suppress the other
+            if name not in by_name or mtime < by_name[name][0]:
+                by_name[name] = (mtime, p)
+        return [p for _, p in sorted(by_name.values())]
 
     def run(self) -> int:
-        n_total = 0
+        n_total, n_failed = 0, 0
         while True:
             batch = self.pending()
             for path in batch:
                 try:
-                    n_total += self.process(path)
+                    ok = self.process(path)
+                    if ok is None:
+                        continue
+                    n_total += ok
+                    n_failed += not ok
                 except Exception as e:  # one bad slide must not kill the
                     # daemon; it is NOT marked processed, so a fixed file
                     # (or fixed code) picks it up on a later poll
                     print(f"serve: ERROR on {path}: {e}", file=sys.stderr)
+                    n_failed += 1
             if self.args.once:
-                print(f"serve: backlog drained ({n_total} slides) — "
-                      "exiting (--once)")
-                return 0
+                print(f"serve: backlog drained ({n_total} slides, "
+                      f"{n_failed} failed) — exiting (--once)")
+                return 0 if n_failed == 0 else 1
             time.sleep(self.args.poll_secs)
 
 

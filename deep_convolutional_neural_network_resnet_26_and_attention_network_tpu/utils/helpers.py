@@ -237,6 +237,8 @@ def plot_grad_flow(grads, path=None):
 
 def _minmax_normalize(x):
     x = np.asarray(x, np.float64)
+    if x.size == 0:  # degenerate slide: empty raster -> empty .dla,
+        return x     # not a zero-size-reduction crash mid-sweep
     lo, hi = x.min(), x.max()
     return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
 

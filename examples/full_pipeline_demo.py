@@ -10,6 +10,7 @@ slides, spreadsheets, or GPUs needed (CPU, a few minutes):
      the reference's gbm/classify.py transfer path)
   6. live attention-MIL driver + interface  (train.classify CLI,
      the reference's gbm/classify_combined.py)
+  6b. serving daemon on the int8 W8A8 path  (train.serve CLI, --once)
   7. metric plots from the run artifacts    (utils.plots CLI)
   8. Grad-CAM on a tile from the trained checkpoint (interpret kit)
 
@@ -94,6 +95,17 @@ def main():
     demo_ckpt = os.path.join(runs, "run_DEMO", "train_step-000.model")
     run_mod("train.classify", ["--interface", "--ckpt", demo_ckpt]
             + live_common, cache)
+
+    # 6b. serving daemon: drain the slide dir once with the trained
+    #     checkpoint on the int8 W8A8 path (results.csv + .dla maps;
+    #     restart-idempotent via processed.txt)
+    serve_out = os.path.join(wd, "serve_out")
+    run_mod("train.serve",
+            ["--ckpt", demo_ckpt, "--watch_dir",
+             os.path.join(wd, "slides"), "--out_root", serve_out,
+             "--arch", "tiny", "--resolution", RES, "--roi_size", "32",
+             "--f32", "--int8", "--once", "--settle_secs", "0",
+             "--chunk", "16"], cache)
 
     # 7. metric plots from the summary artifacts
     run_mod("utils.plots", [os.path.join(runs, "run_DEMO"),

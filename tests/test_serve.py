@@ -94,6 +94,62 @@ def test_serve_watch_dir_idempotent_and_incremental(slide_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_reconciles_missing_marker(slide_tree, tmp_path):
+    """Crash between the results.csv append and the processed.txt marker:
+    restart must adopt the row (all artifacts were written first) instead
+    of re-classifying and duplicating it."""
+    tree, _ = slide_tree
+    out = str(tmp_path / "serve_out")
+    argv = ["--watch_dir", str(tree / "slides"), "--out_root", out] + COMMON
+    assert _run(argv) == 0
+    assert len(_rows(out)) == 3
+
+    # simulate the crash window: drop one marker, keep its results row
+    marker = os.path.join(out, "processed.txt")
+    names = open(marker).read().splitlines()
+    with open(marker, "w") as f:
+        f.write("\n".join(names[1:]) + "\n")
+
+    assert _run(argv) == 0
+    rows = _rows(out)
+    assert len(rows) == 3  # no duplicate row
+    assert len(set(ln.split(",")[0] for ln in rows)) == 3
+    assert set(open(marker).read().split()) == set(names)  # marker healed
+
+
+@pytest.mark.slow
+def test_serve_int8_defers_calibration_past_empty_slide(slide_tree,
+                                                        tmp_path):
+    """A tile-less first slide must not calibrate the int8 scales on the
+    zeros fallback (that would floor every scale and corrupt the rest);
+    calibration defers to the next real slide."""
+    tree, add_slide = slide_tree
+    cache = tree / "cache"
+    # 0-tile slide, lexically/mtime-first via the manifest order
+    (tree / "slides" / "AAA_empty_H&E.scn").write_bytes(b"fake")
+    np.save(cache / "data_AAA_empty_H&E_rois_size32_hsvcut_v3.npy",
+            np.zeros((0, 32, 32, 3), np.uint8))
+    np.save(cache / "coor_AAA_empty_H&E_rois_size32_hsvcut_v3.npy",
+            np.zeros((0, 2), np.int64))
+    manifest = tmp_path / "m.txt"
+    manifest.write_text(
+        str(tree / "slides" / "AAA_empty_H&E.scn") + "\n"
+        + str(tree / "slides" / sorted(os.listdir(tree / "slides"))[1])
+        + "\n")
+    out = str(tmp_path / "serve_empty")
+    rc = _run(["--manifest", str(manifest), "--out_root", out,
+               "--int8", "--int8_calib", "16"] + COMMON)
+    assert rc == 0
+    rows = _rows(out)
+    assert len(rows) == 2
+    # the real slide's probabilities are sane (scales not floored)
+    real = next(ln for ln in rows if not ln.startswith("AAA_empty"))
+    probs = [float(p) for p in real.split(",")[1:4]]
+    assert abs(sum(probs) - 1.0) < 1e-4
+    assert max(probs) < 0.999  # zero-floored scales would saturate
+
+
+@pytest.mark.slow
 def test_serve_manifest_int8(slide_tree, tmp_path):
     tree, _ = slide_tree
     out = str(tmp_path / "serve_i8")
