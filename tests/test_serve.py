@@ -167,3 +167,31 @@ def test_serve_manifest_int8(slide_tree, tmp_path):
         probs = [float(p) for p in ln.split(",")[1:4]]
         assert abs(sum(probs) - 1.0) < 1e-4
         assert all(np.isfinite(probs))
+
+
+@pytest.mark.slow
+def test_serve_mesh_int8_matches_single_device(slide_tree, tmp_path):
+    """All three serving axes compose: chunks stream in time, each
+    chunk's tile axis shards over the 8-device mesh, and the per-chunk
+    program is the quantized int8 forward — probabilities must match the
+    single-device daemon bit-for-bit at f32 pooling tolerance."""
+    tree, _ = slide_tree
+    manifest = tmp_path / "slides.txt"
+    names = sorted(os.listdir(tree / "slides"))[:2]
+    manifest.write_text(
+        "\n".join(str(tree / "slides" / n) for n in names) + "\n")
+
+    out1 = str(tmp_path / "serve_1dev")
+    out8 = str(tmp_path / "serve_8dev")
+    assert _run(["--manifest", str(manifest), "--out_root", out1,
+                 "--int8", "--int8_calib", "16"] + COMMON) == 0
+    assert _run(["--manifest", str(manifest), "--out_root", out8,
+                 "--int8", "--int8_calib", "16", "--mesh", "8"]
+                + COMMON) == 0
+    r1 = {ln.split(",")[0]: [float(p) for p in ln.split(",")[1:4]]
+          for ln in _rows(out1)}
+    r8 = {ln.split(",")[0]: [float(p) for p in ln.split(",")[1:4]]
+          for ln in _rows(out8)}
+    assert r1.keys() == r8.keys()
+    for name in r1:
+        np.testing.assert_allclose(r1[name], r8[name], atol=1e-5)
