@@ -16,7 +16,7 @@ single batch cannot amortize (see PROFILE.md). The JSON carries ``mfu``
 (vs the v5e 197 TFLOP/s bf16 datasheet peak) and ``mode`` (quick/full).
 
 --config selects the BASELINE.json benchmark configs:
-  1  ResNet-26 tile forward (headline, CPU-runnable)
+  1  ResNet-26 tile forward (headline, CPU-runnable; --int8 = W8A8 path)
   2  attention-MIL bag inference (64-tile bag, fused Pallas pooling on TPU)
   3  full-slide pipeline: RoiBuilder build -> extract -> pool (synthetic WSI)
   4  attention heatmap export (visualize panel + .dla maps)
@@ -202,7 +202,7 @@ def _device_calibration_tflops(chains: int = 16) -> float:
 
 
 def bench_resnet_forward(quick: bool, no_baseline: bool = False,
-                         repeats: int = 3):
+                         repeats: int = 3, int8: bool = False):
     platform = jax.devices()[0].platform
     mode = "quick" if quick else "full"
     if platform == "cpu":
@@ -220,15 +220,41 @@ def bench_resnet_forward(quick: bool, no_baseline: bool = False,
         K, B = 3, 4096
     params = resnet.init_resnet26(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def fwd(p, x):  # x: (K, B, res, res, 3) or (B, res, res, 3) uint8
-        def step(_, xb):
-            xf = xb.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-            return None, resnet.apply_resnet26(p, xf,
-                                               compute_dtype=jnp.bfloat16)
-        if x.ndim == 4:  # single plain batch, no scan machinery
-            return step(None, x)[1]
-        return lax.scan(step, None, x)[1]
+    if int8:
+        # --int8: the W8A8 serving path (ops/quant.py) at identical
+        # conditions — same scan-megabatch geometry, same uint8 staging —
+        # so the artifact is directly comparable to the bf16 headline
+        # (interleaved A/B with statistics: tools/exp_int8.py)
+        from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.ops import (  # noqa: E501
+            quant as Q,
+        )
+
+        n_calib = 256 if platform != "cpu" else 8  # CPU smoke only
+        calib_u8 = jax.jit(lambda k: jax.random.randint(
+            k, (n_calib, TILE_RES, TILE_RES, 3), 0, 256,
+            jnp.uint8))(jax.random.PRNGKey(7))
+        qp, sc = Q.quantize_and_calibrate(
+            params, calib_u8.astype(jnp.float32) / 255.0)
+        params = jax.device_put(qp)
+
+        @jax.jit
+        def fwd(p, x):
+            def step(_, xb):
+                xf = xb.astype(jnp.float32) / jnp.float32(255.0)
+                return None, Q.apply_resnet26_int8(p, sc, xf)
+            if x.ndim == 4:
+                return step(None, x)[1]
+            return lax.scan(step, None, x)[1]
+    else:
+        @jax.jit
+        def fwd(p, x):  # x: (K, B, res, res, 3) or (B, res, res, 3) uint8
+            def step(_, xb):
+                xf = xb.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+                return None, resnet.apply_resnet26(
+                    p, xf, compute_dtype=jnp.bfloat16)
+            if x.ndim == 4:  # single plain batch, no scan machinery
+                return step(None, x)[1]
+            return lax.scan(step, None, x)[1]
 
     # K == 1 drops the leading dim entirely: XLA tile-pads a 1-sized
     # leading dim 4x on u8 arrays (T(4,128) layout), which alone OOMs at
@@ -282,9 +308,13 @@ def bench_resnet_forward(quick: bool, no_baseline: bool = False,
         "1", lambda: _torch_cpu_baseline(8, 3, TILE_RES),
         quick=quick, no_baseline=no_baseline)
     vs = tiles_per_sec / base if base else None
-    mfu = (tiles_per_sec * flops_per_tile() / V5E_BF16_PEAK
+    # int8 utilization is judged against the doubled int8 MXU rate
+    peak = V5E_BF16_PEAK * (2 if int8 else 1)
+    mfu = (tiles_per_sec * flops_per_tile() / peak
            if platform != "cpu" else None)
     extra = {"mode": mode, "batch_per_dispatch": K * B}
+    if int8:
+        extra["precision"] = "w8a8_int8"
     if src:
         extra["baseline_source"] = src
     if mfu is not None:
@@ -299,8 +329,10 @@ def bench_resnet_forward(quick: bool, no_baseline: bool = False,
             extra["calib_drift_pct"] = round(100 * drift, 1)
             if drift > 0.15:
                 extra["calib_unstable"] = True
-    _emit("resnet26_forward_tiles_per_sec_per_chip", tiles_per_sec,
-          f"tiles/sec ({TILE_RES}x{TILE_RES}, uint8 in, bf16, {platform})",
+    _emit(("resnet26_forward_int8_tiles_per_sec_per_chip" if int8
+           else "resnet26_forward_tiles_per_sec_per_chip"), tiles_per_sec,
+          f"tiles/sec ({TILE_RES}x{TILE_RES}, uint8 in, "
+          f"{'w8a8 int8' if int8 else 'bf16'}, {platform})",
           vs, **extra)
 
 
@@ -832,6 +864,9 @@ def main():
                     help="measure torch-CPU baselines at full shapes and "
                          "write BASELINE_MEASURED.json (optionally only "
                          "the listed configs), then exit")
+    ap.add_argument("--int8", action="store_true",
+                    help="config 1 only: run the W8A8 int8 serving "
+                         "forward (ops/quant.py) instead of bf16")
     args = ap.parse_args()
     if args.record_baseline is not None:
         record_baselines(args.record_baseline or None)
@@ -839,6 +874,9 @@ def main():
     benches = [bench_resnet_forward, bench_bag_inference, bench_full_slide,
                bench_heatmap_export, bench_multislide_sharded,
                bench_train_step, bench_gan_train]
+    if args.int8 and args.config == 1 and not args.all:
+        bench_resnet_forward(args.quick, args.no_baseline, int8=True)
+        return
     if args.all:
         for bench in benches:
             bench(args.quick, args.no_baseline)
