@@ -37,13 +37,29 @@ WM, CODE, RES = "0.125", "32", "16"
 
 def run_mod(module, args_list, cache):
     env = dict(os.environ, CACHE_DIR=cache,
+               # CPU walkthrough on an arbitrary host: never load the
+               # repo's persistent cache — XLA:CPU AOT entries compiled
+               # on a different CPU can SIGILL (see utils/compcache.py)
+               JAX_DISABLE_PERSISTENT_CACHE="1",
                PYTHONPATH=ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""))
     print(f"\n+ python -m ...{module.split('.')[-1]} " + " ".join(args_list))
-    subprocess.run([sys.executable, "-m", f"{PKG}.{module}"] + args_list,
+    # the demo is a CPU walkthrough: pin the CPU backend IN-PROCESS before
+    # any jax use (env-var overrides can be ignored when an interpreter
+    # hook pre-registers an accelerator platform, and an unreachable
+    # remote device would hang every step here)
+    boot = ("import jax, sys, runpy; "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            f"sys.argv[0] = '{PKG}.{module}'; "
+            f"runpy.run_module('{PKG}.{module}', run_name='__main__')")
+    subprocess.run([sys.executable, "-c", boot] + args_list,
                    check=True, env=env)
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # CPU walkthrough (step 8
+    # runs in-process; see run_mod for why the env var is not enough)
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/gbmnet_full")
     args = ap.parse_args()
