@@ -126,6 +126,11 @@ class SlideServer:
         self._transform_extract = None
         self._int8_pending = bool(args.int8)
 
+        # per-name failure counts (in-memory): a permanently-broken file
+        # stops burning a rebuild attempt every poll after MAX_ATTEMPTS;
+        # a daemon restart (or a fixed file under a new name) retries
+        self.attempts = {}
+
         self.processed = set()
         if os.path.isfile(self.processed_path):
             with open(self.processed_path) as f:
@@ -179,7 +184,9 @@ class SlideServer:
             os.fsync(f.fileno())
 
     # ------------------------------------------------------------------
-    def process(self, path: str) -> bool:
+    MAX_ATTEMPTS = 3
+
+    def process(self, path: str) -> bool | None:
         """Classify one slide. True = classified, False = failed (cache
         build), None = already processed (skip, not a failure)."""
         t0 = time.perf_counter()
@@ -238,6 +245,8 @@ class SlideServer:
             name = os.path.split(p)[1].split(".")[0]
             if name in self.processed:
                 continue
+            if self.attempts.get(name, 0) >= self.MAX_ATTEMPTS:
+                continue  # gave up on this name until restart
             try:  # files can vanish between the glob and the stat
                 # (atomic-rename upload tooling) — skip, next poll decides
                 mtime = os.path.getmtime(p)
@@ -257,17 +266,25 @@ class SlideServer:
         while True:
             batch = self.pending()
             for path in batch:
+                name = os.path.split(path)[1].split(".")[0]
                 try:
                     ok = self.process(path)
                     if ok is None:
                         continue
                     n_total += ok
-                    n_failed += not ok
+                    if not ok:
+                        n_failed += 1
+                        self.attempts[name] = self.attempts.get(name, 0) + 1
                 except Exception as e:  # one bad slide must not kill the
                     # daemon; it is NOT marked processed, so a fixed file
-                    # (or fixed code) picks it up on a later poll
+                    # (or fixed code, or a restart) retries it
                     print(f"serve: ERROR on {path}: {e}", file=sys.stderr)
                     n_failed += 1
+                    self.attempts[name] = self.attempts.get(name, 0) + 1
+                    if self.attempts[name] >= self.MAX_ATTEMPTS:
+                        print(f"serve: giving up on {name} after "
+                              f"{self.MAX_ATTEMPTS} attempts (until "
+                              "restart)", file=sys.stderr)
             if self.args.once:
                 print(f"serve: backlog drained ({n_total} slides, "
                       f"{n_failed} failed) — exiting (--once)")
