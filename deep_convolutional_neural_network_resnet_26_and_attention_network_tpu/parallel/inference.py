@@ -197,18 +197,23 @@ def streaming_eval_outputs(outs, label, cfg: amil.MILConfig):
 
 
 def make_batched_infer(cfg: amil.MILConfig, mesh=None, *,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, extractor=None):
     """Jitted batched inference fn(params, tiles [B,T,H,W,3], masks [B,T])
     -> dict with y_pred [B, 1, C]. With a mesh, inputs shard over
-    (slides, tiles) and XLA inserts the tile-axis psums."""
+    (slides, tiles) and XLA inserts the tile-axis psums. ``extractor``
+    swaps the tile embedder (e.g. the W8A8 int8 serving path)."""
 
     def infer(params, tiles, masks):
         labels = jnp.zeros((tiles.shape[0],), jnp.int32)
         outs = steps.batched_forward(params, tiles, masks, labels, cfg,
                                      train=False,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     extractor=extractor)
+        # Aterm [B, K, T] rides along for .dla heatmap export in batched
+        # serving; T is bucketed so it stays small
         return {"y_pred": outs["y_pred"], "y_pred_hat": outs["y_pred_hat"],
-                "Mterm": outs["Mterm"], "Aterm_var": outs["Aterm_var"]}
+                "Mterm": outs["Mterm"], "Aterm_var": outs["Aterm_var"],
+                "Aterm": outs["Aterm"]}
 
     jitted = jax.jit(infer)
 
@@ -229,10 +234,13 @@ def make_batched_infer(cfg: amil.MILConfig, mesh=None, *,
 
 def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
                             mesh=None, n_tiles: int | None = None,
-                            compute_dtype=jnp.bfloat16):
+                            compute_dtype=jnp.bfloat16, infer_fn=None):
     """bags: list of [T_i, H, W, 3] arrays. Pads all bags to one static
     tile count (max bucket, rounded to the tile-mesh axis) and runs one
-    sharded batched forward. Returns probs [B, C]."""
+    sharded batched forward. Returns probs [B, C]. ``infer_fn`` (a
+    make_batched_infer result the caller owns and caches — e.g. one built
+    with an int8 extractor) bypasses the internal compiled-forward cache,
+    which cannot key on closures."""
     from ..data.loader import bucket_for
 
     multiple = mesh.shape[M.TILES_AXIS] if mesh is not None else 1
@@ -253,6 +261,9 @@ def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
     # can be recycled after GC, silently serving a forward compiled for a
     # differently-shaped mesh — key on (axis sizes, device ids) and pin
     # the mesh object in the entry so its devices stay live.
+    if infer_fn is not None:
+        outs = infer_fn(params, tiles, masks)
+        return np.asarray(outs["y_pred"]).reshape(len(bags), -1), outs
     mesh_key = (None if mesh is None else
                 (tuple(mesh.shape.items()),
                  tuple(d.id for d in mesh.devices.flat)))

@@ -60,8 +60,9 @@ def _apply(tx, state: TrainState, grads, lr) -> TrainState:
 
 
 def batched_forward(params, tiles, masks, labels, cfg, *, train, rng=None,
-                    compute_dtype=None):
-    """vmapped bag forward: tiles [B,T,H,W,3], masks [B,T], labels [B]."""
+                    compute_dtype=None, extractor=None):
+    """vmapped bag forward: tiles [B,T,H,W,3], masks [B,T], labels [B].
+    ``extractor`` swaps the tile embedder per bag (serving, e.g. int8)."""
     B = tiles.shape[0]
     if train:
         keys = jax.random.split(rng, B)
@@ -72,7 +73,7 @@ def batched_forward(params, tiles, masks, labels, cfg, *, train, rng=None,
         return amil.apply_attention_mil(
             params, bag, label, cfg, mask=mask,
             train=train, rng=key if train else None,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, extractor=extractor)
 
     return jax.vmap(per_bag)(tiles, masks, labels, keys)
 

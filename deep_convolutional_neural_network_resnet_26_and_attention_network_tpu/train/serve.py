@@ -11,12 +11,16 @@ service with the same artifact formats.
 
 TPU-serving design points:
 
-  * **one code path** — every slide goes through
+  * **one default code path** — every slide goes through
     ``parallel.inference.classify_slide_streaming``: exact for any bag
     size (MIL pooling is linear over tiles), bounded device memory (one
     chunk + the [T, L] features resident), mesh-composable
     (``--mesh N`` shards each chunk's tile axis), and extractor-swappable
-    (``--int8`` serves the W8A8 path, ops/quant.py);
+    (``--int8`` serves the W8A8 path, ops/quant.py). ``--batch N`` adds a
+    throughput mode: up to N small slides (``--batch_tile_cap``) group
+    into ONE batched forward — per-dispatch overhead is multi-ms on
+    remote devices, so biopsy-sized slides arriving in bulk amortize it
+    N-fold; over-cap slides still stream;
   * **compiled programs stay warm** — chunk shapes come off the bucket
     ladder, so steady-state latency after the first few slides is pure
     compute + IO, never compile;
@@ -78,6 +82,16 @@ def build_argparser():
     p.add_argument("--int8_calib", default=256, type=int)
     p.add_argument("--chunk", default=1024, type=int,
                    help="streaming chunk (tiles per dispatch)")
+    p.add_argument("--batch", default=1, type=int,
+                   help="group up to N small slides into ONE batched "
+                        "forward per dispatch (amortizes per-dispatch "
+                        "overhead when many biopsy-sized slides arrive); "
+                        "slides over --batch_tile_cap still stream "
+                        "individually")
+    p.add_argument("--batch_tile_cap", default=1024, type=int,
+                   help="slides with more tiles than this are too big to "
+                        "batch (the batch pads every bag to the largest "
+                        "member's bucket) and take the streaming path")
     p.add_argument("--mesh", default=0, type=int,
                    help="shard each chunk's tile axis over N devices")
     p.add_argument("--poll_secs", default=5.0, type=float)
@@ -124,7 +138,9 @@ class SlideServer:
         # daemon has no cohort upfront (the classify driver's --int8
         # calibrates eagerly on the dataset instead)
         self._transform_extract = None
+        self._int8_extractor = None
         self._int8_pending = bool(args.int8)
+        self._binfer = None  # (extractor, jitted batched fn) for --batch
 
         # per-name failure counts (in-memory): a permanently-broken file
         # stops burning a rebuild attempt every poll after MAX_ATTEMPTS;
@@ -169,8 +185,11 @@ class SlideServer:
             print(f"serve: int8 calibration deferred — "
                   f"{builder.getname()} has no tiles")
             return
+        qp_sc = quant.quantize_and_calibrate(self.params["cnn"], calib)
         self._transform_extract = quant.make_int8_transform_extract(
-            self.params["cnn"], calib, self.args.resolution)
+            self.params["cnn"], calib, self.args.resolution, qp_sc=qp_sc)
+        self._int8_extractor = quant.make_int8_extractor(
+            self.params["cnn"], calib, qp_sc=qp_sc)
         self._int8_pending = False
         print(f"serve: int8 W8A8 extractor armed "
               f"({int(calib.shape[0])} calibration tiles from "
@@ -227,6 +246,54 @@ class SlideServer:
         return True
 
     # ------------------------------------------------------------------
+    def _get_batched_infer(self):
+        """Jitted batched forward, rebuilt only when the extractor
+        changes (e.g. int8 arms after the first real slide)."""
+        ex = self._int8_extractor
+        if self._binfer is None or self._binfer[0] is not ex:
+            self._binfer = (ex, inference.make_batched_infer(
+                self.cfg, self.mesh, compute_dtype=self.compute_dtype,
+                extractor=ex))
+        return self._binfer[1]
+
+    def process_group(self, builders) -> int:
+        """--batch: several small slides through ONE batched forward
+        (pads each bag to the group's bucket; amortizes per-dispatch
+        overhead). Same artifacts per slide as the streaming path."""
+        t0 = time.perf_counter()
+        if self._int8_pending:
+            armed_on = next((b for b in builders if b.getsize() > 0), None)
+            if armed_on is not None:
+                self._ensure_int8(armed_on)
+        bags, rasters = [], []
+        for b in builders:
+            tiles, coords, _ = b.get_inference_data()
+            bags.append(np.asarray(tiles))
+            rasters.append(np.asarray(coords))
+        probs, outs = inference.classify_slides_batched(
+            self.params, self.cfg, bags, mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
+            infer_fn=self._get_batched_infer())
+        Aterm = np.asarray(outs["Aterm"])
+        avar = np.asarray(outs["Aterm_var"]).ravel()
+        preds = np.asarray(outs["y_pred_hat"]).ravel()
+        secs = (time.perf_counter() - t0) / max(len(builders), 1)
+        for i, b in enumerate(builders):
+            T = rasters[i].shape[0]
+            helpers.write_map(b.getmeta(), 0, rasters[i], Aterm[i][:, :T],
+                              output_dir=self.args.out_root)
+            with open(self.results_path, "a") as f:
+                f.write("{0},{1},{2},{3},{4},{5},{6},{7:.3f}\n".format(
+                    b.getname(), *[f"{p:.6f}" for p in probs[i, :3]],
+                    int(preds[i]), float(avar[i]), b.getsize(), secs))
+                f.flush()
+            self._mark_processed(b.getname())
+            print(f"serve: {b.getname()}: probs={np.round(probs[i], 4)} "
+                  f"pred={int(preds[i])} ({b.getsize()} tiles, batched "
+                  f"x{len(builders)}, {secs:.2f}s/slide)")
+        return len(builders)
+
+    # ------------------------------------------------------------------
     def pending(self):
         """Slide paths not yet processed, oldest first."""
         if self.args.watch_dir:
@@ -261,30 +328,77 @@ class SlideServer:
                 by_name[name] = (mtime, p)
         return [p for _, p in sorted(by_name.values())]
 
+    def _note_failure(self, name, err=None):
+        if err is not None:
+            print(f"serve: ERROR on {name}: {err}", file=sys.stderr)
+        self.attempts[name] = self.attempts.get(name, 0) + 1
+        if self.attempts[name] >= self.MAX_ATTEMPTS:
+            print(f"serve: giving up on {name} after {self.MAX_ATTEMPTS} "
+                  "attempts (until restart)", file=sys.stderr)
+
+    def _drain(self, paths):
+        """Process one poll's backlog; returns (classified, failed)."""
+        done = failed = 0
+        group = []  # small builders awaiting a batched forward
+
+        def flush():
+            nonlocal done, failed
+            while group:
+                g = group[: max(self.args.batch, 1)]
+                del group[: max(self.args.batch, 1)]
+                try:
+                    done += self.process_group(g)
+                except Exception as e:
+                    failed += len(g)
+                    for b in g:
+                        self._note_failure(b.getname(), e)
+
+        for path in paths:
+            name = os.path.split(path)[1].split(".")[0]
+            if self.args.batch > 1:
+                # route small slides into the batch, big ones to streaming
+                try:
+                    params = ({"roi_size": self.args.roi_size}
+                              if self.args.roi_size else {})
+                    b = RoiBuilder(path, params)
+                    if b.getname() in self.processed:
+                        continue
+                    if "MISSING" in b.params["status"] and not b.build():
+                        failed += 1
+                        self._note_failure(name)
+                        continue
+                    if 0 <= b.getsize() <= self.args.batch_tile_cap:
+                        b.update_resolution_and_buffer(self.args.resolution)
+                        group.append(b)
+                        if len(group) >= self.args.batch:
+                            flush()
+                        continue
+                except Exception as e:
+                    failed += 1
+                    self._note_failure(name, e)
+                    continue
+            try:  # serial path: streaming (exact for any size)
+                ok = self.process(path)
+                if ok is None:
+                    continue
+                done += ok
+                if not ok:
+                    failed += 1
+                    self._note_failure(name)
+            except Exception as e:  # one bad slide must not kill the
+                # daemon; it is NOT marked processed, so a fixed file
+                # (or fixed code, or a restart) retries it
+                failed += 1
+                self._note_failure(name, e)
+        flush()  # tail group below the batch size
+        return done, failed
+
     def run(self) -> int:
         n_total, n_failed = 0, 0
         while True:
-            batch = self.pending()
-            for path in batch:
-                name = os.path.split(path)[1].split(".")[0]
-                try:
-                    ok = self.process(path)
-                    if ok is None:
-                        continue
-                    n_total += ok
-                    if not ok:
-                        n_failed += 1
-                        self.attempts[name] = self.attempts.get(name, 0) + 1
-                except Exception as e:  # one bad slide must not kill the
-                    # daemon; it is NOT marked processed, so a fixed file
-                    # (or fixed code, or a restart) retries it
-                    print(f"serve: ERROR on {path}: {e}", file=sys.stderr)
-                    n_failed += 1
-                    self.attempts[name] = self.attempts.get(name, 0) + 1
-                    if self.attempts[name] >= self.MAX_ATTEMPTS:
-                        print(f"serve: giving up on {name} after "
-                              f"{self.MAX_ATTEMPTS} attempts (until "
-                              "restart)", file=sys.stderr)
+            done, failed = self._drain(self.pending())
+            n_total += done
+            n_failed += failed
             if self.args.once:
                 print(f"serve: backlog drained ({n_total} slides, "
                       f"{n_failed} failed) — exiting (--once)")

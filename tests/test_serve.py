@@ -170,6 +170,44 @@ def test_serve_manifest_int8(slide_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_batched_matches_serial(slide_tree, tmp_path):
+    """--batch N groups small slides into one batched forward; an
+    over-cap slide still streams. Probabilities must match the serial
+    (streaming) daemon, and every slide appears exactly once."""
+    tree, add_slide = slide_tree
+    add_slide("GHP_9_D_H&E.scn", ntiles=40)  # > cap below -> streams
+    src = ["--watch_dir", str(tree / "slides")]
+    out_s = str(tmp_path / "serial")
+    out_b = str(tmp_path / "batched")
+    assert _run(src + ["--out_root", out_s] + COMMON) == 0
+    assert _run(src + ["--out_root", out_b, "--batch", "3",
+                       "--batch_tile_cap", "30"] + COMMON) == 0
+
+    def parse(out):
+        return {ln.split(",")[0]: [float(p) for p in ln.split(",")[1:4]]
+                for ln in _rows(out)}
+
+    rs, rb = parse(out_s), parse(out_b)
+    assert rs.keys() == rb.keys() and len(rs) == 4
+    for name in rs:
+        np.testing.assert_allclose(rs[name], rb[name], atol=1e-4)
+    # batched run writes the same .dla maps per slide
+    dlas_b = {f for f in os.listdir(out_b) if f.endswith(".dla")}
+    dlas_s = {f for f in os.listdir(out_s) if f.endswith(".dla")}
+    assert dlas_b == dlas_s
+
+    # int8 composes with batching
+    out_i = str(tmp_path / "batched_i8")
+    assert _run(src + ["--out_root", out_i, "--batch", "3",
+                       "--batch_tile_cap", "30", "--int8",
+                       "--int8_calib", "16"] + COMMON) == 0
+    ri = parse(out_i)
+    assert ri.keys() == rs.keys()
+    for probs in ri.values():
+        assert abs(sum(probs) - 1.0) < 1e-4
+
+
+@pytest.mark.slow
 def test_serve_mesh_int8_matches_single_device(slide_tree, tmp_path):
     """All three serving axes compose: chunks stream in time, each
     chunk's tile axis shards over the 8-device mesh, and the per-chunk
