@@ -170,6 +170,46 @@ def test_serve_manifest_int8(slide_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_crash_mid_slide_retries_cleanly(slide_tree, tmp_path,
+                                               monkeypatch):
+    """A failure AFTER classification but BEFORE the results row (e.g.
+    the process dies writing .dla) must leave no partial bookkeeping: the
+    next run redoes exactly that slide, and the CSV ends with one row per
+    slide."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        serve,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.utils import (
+        helpers,
+    )
+
+    tree, _ = slide_tree
+    out = str(tmp_path / "serve_out")
+    argv = ["--watch_dir", str(tree / "slides"), "--out_root", out] + COMMON
+
+    victim = sorted(os.listdir(tree / "slides"))[1].split(".")[0]
+    real_write_map = helpers.write_map
+
+    def dying_write_map(meta, *a, **k):
+        if meta["basename"] == victim:
+            raise OSError("disk died mid-.dla")
+        return real_write_map(meta, *a, **k)
+
+    monkeypatch.setattr(serve.helpers, "write_map", dying_write_map)
+    assert _run(argv) == 1  # the victim failed, others classified
+    rows = _rows(out)
+    assert len(rows) == 2
+    assert victim not in {ln.split(",")[0] for ln in rows}
+
+    monkeypatch.setattr(serve.helpers, "write_map", real_write_map)
+    assert _run(argv) == 0  # retry picks up ONLY the victim
+    rows = _rows(out)
+    assert len(rows) == 3
+    names = [ln.split(",")[0] for ln in rows]
+    assert sorted(names) == sorted(set(names))  # no duplicates
+
+
+@pytest.mark.slow
 def test_serve_batched_matches_serial(slide_tree, tmp_path):
     """--batch N groups small slides into one batched forward; an
     over-cap slide still streams. Probabilities must match the serial
