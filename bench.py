@@ -874,7 +874,10 @@ def main():
     benches = [bench_resnet_forward, bench_bag_inference, bench_full_slide,
                bench_heatmap_export, bench_multislide_sharded,
                bench_train_step, bench_gan_train]
-    if args.int8 and args.config == 1 and not args.all:
+    if args.int8:
+        if args.all or args.config != 1:
+            ap.error("--int8 applies to config 1 only (not --all); "
+                     "run `bench.py --int8` for the W8A8 headline")
         bench_resnet_forward(args.quick, args.no_baseline, int8=True)
         return
     if args.all:

@@ -197,13 +197,26 @@ def streaming_eval_outputs(outs, label, cfg: amil.MILConfig):
 
 
 def make_batched_infer(cfg: amil.MILConfig, mesh=None, *,
-                       compute_dtype=jnp.bfloat16, extractor=None):
+                       compute_dtype=jnp.bfloat16, extractor=None,
+                       transform_resolution: int | None = None):
     """Jitted batched inference fn(params, tiles [B,T,H,W,3], masks [B,T])
     -> dict with y_pred [B, 1, C]. With a mesh, inputs shard over
     (slides, tiles) and XLA inserts the tile-axis psums. ``extractor``
-    swaps the tile embedder (e.g. the W8A8 int8 serving path)."""
+    swaps the tile embedder (e.g. the W8A8 int8 serving path).
+    ``transform_resolution`` fuses the eval transform into the program so
+    callers can ship RAW uint8 bags — 4x less H2D than staging the f32
+    eval bags through the host (the same economics as the streaming
+    path's fused transform+extract)."""
 
     def infer(params, tiles, masks):
+        if transform_resolution is not None:
+            from ..data import transforms
+
+            B, T = tiles.shape[:2]
+            flat = tiles.reshape((B * T,) + tiles.shape[2:])
+            flat = transforms.eval_transform(
+                flat, resolution=transform_resolution)
+            tiles = flat.reshape((B, T) + flat.shape[1:])
         labels = jnp.zeros((tiles.shape[0],), jnp.int32)
         outs = steps.batched_forward(params, tiles, masks, labels, cfg,
                                      train=False,
@@ -243,7 +256,17 @@ def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
     which cannot key on closures."""
     from ..data.loader import bucket_for
 
+    n_real = len(bags)
     multiple = mesh.shape[M.TILES_AXIS] if mesh is not None else 1
+    if mesh is not None:
+        # the bag axis shards over the slides axis too — pad the GROUP
+        # with zero bags so any group size device_puts cleanly (a batch
+        # of 3 on a slides=2 mesh would otherwise raise in device_put);
+        # padded entries are trimmed from every output below
+        s_mult = mesh.shape[M.SLIDES_AXIS]
+        proto = np.asarray(bags[0])
+        dummy = np.zeros((1,) + tuple(proto.shape[1:]), proto.dtype)
+        bags = list(bags) + [dummy] * ((-n_real) % s_mult)
     # bucketed target: exact max-size padding would compile a fresh
     # program per distinct cohort; the bucket ladder keeps shapes stable
     target = n_tiles or bucket_for(max(b.shape[0] for b in bags),
@@ -261,9 +284,14 @@ def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
     # can be recycled after GC, silently serving a forward compiled for a
     # differently-shaped mesh — key on (axis sizes, device ids) and pin
     # the mesh object in the entry so its devices stay live.
+    def trim(outs):
+        # drop the zero-bag padding entries (every output leads with B)
+        if len(bags) != n_real:
+            outs = {k: v[:n_real] for k, v in outs.items()}
+        return np.asarray(outs["y_pred"]).reshape(n_real, -1), outs
+
     if infer_fn is not None:
-        outs = infer_fn(params, tiles, masks)
-        return np.asarray(outs["y_pred"]).reshape(len(bags), -1), outs
+        return trim(infer_fn(params, tiles, masks))
     mesh_key = (None if mesh is None else
                 (tuple(mesh.shape.items()),
                  tuple(d.id for d in mesh.devices.flat)))
@@ -272,5 +300,4 @@ def classify_slides_batched(params, cfg: amil.MILConfig, bags, *,
         _FWD_CACHE[key] = (make_batched_infer(cfg, mesh,
                                               compute_dtype=compute_dtype),
                            mesh)
-    outs = _FWD_CACHE[key][0](params, tiles, masks)
-    return np.asarray(outs["y_pred"]).reshape(len(bags), -1), outs
+    return trim(_FWD_CACHE[key][0](params, tiles, masks))

@@ -142,9 +142,11 @@ class SlideServer:
         self._int8_pending = bool(args.int8)
         self._binfer = None  # (extractor, jitted batched fn) for --batch
 
-        # per-name failure counts (in-memory): a permanently-broken file
-        # stops burning a rebuild attempt every poll after MAX_ATTEMPTS;
-        # a daemon restart (or a fixed file under a new name) retries
+        # per-name failure tracking (in-memory): after MAX_ATTEMPTS a
+        # name backs off for GIVEUP_BACKOFF_SECS instead of burning a
+        # rebuild attempt every poll — but it is never abandoned forever,
+        # so a transient device/tunnel outage self-heals without a
+        # restart. name -> [count, last_failure_ts]
         self.attempts = {}
 
         self.processed = set()
@@ -196,6 +198,7 @@ class SlideServer:
               f"{builder.getname()})")
 
     def _mark_processed(self, name: str):
+        self.attempts.pop(name, None)
         self.processed.add(name)
         with open(self.processed_path, "a") as f:
             f.write(name + "\n")
@@ -204,14 +207,19 @@ class SlideServer:
 
     # ------------------------------------------------------------------
     MAX_ATTEMPTS = 3
+    GIVEUP_BACKOFF_SECS = 300.0
 
-    def process(self, path: str) -> bool | None:
+    def _make_builder(self, path: str) -> RoiBuilder:
+        params = {"roi_size": self.args.roi_size} if self.args.roi_size \
+            else {}
+        return RoiBuilder(path, params)
+
+    def process(self, path: str, builder: RoiBuilder | None = None
+                ) -> bool | None:
         """Classify one slide. True = classified, False = failed (cache
         build), None = already processed (skip, not a failure)."""
         t0 = time.perf_counter()
-        params = {"roi_size": self.args.roi_size} if self.args.roi_size \
-            else {}
-        builder = RoiBuilder(path, params)
+        builder = builder or self._make_builder(path)
         name = builder.getname()
         if name in self.processed:  # belt-and-braces vs pending() races
             return None  # skip: neither processed nor failed
@@ -248,18 +256,24 @@ class SlideServer:
     # ------------------------------------------------------------------
     def _get_batched_infer(self):
         """Jitted batched forward, rebuilt only when the extractor
-        changes (e.g. int8 arms after the first real slide)."""
+        changes (e.g. int8 arms after the first real slide). The eval
+        transform is fused into the program (transform_resolution) so the
+        group ships RAW uint8 — 4x less H2D than staging f32 eval bags
+        through the host, same economics as the streaming path."""
         ex = self._int8_extractor
         if self._binfer is None or self._binfer[0] is not ex:
             self._binfer = (ex, inference.make_batched_infer(
                 self.cfg, self.mesh, compute_dtype=self.compute_dtype,
-                extractor=ex))
+                extractor=ex,
+                transform_resolution=self.args.resolution))
         return self._binfer[1]
 
     def process_group(self, builders) -> int:
         """--batch: several small slides through ONE batched forward
         (pads each bag to the group's bucket; amortizes per-dispatch
         overhead). Same artifacts per slide as the streaming path."""
+        from ..data.roibuilder import EMPTY_BAG_TILES
+
         t0 = time.perf_counter()
         if self._int8_pending:
             armed_on = next((b for b in builders if b.getsize() > 0), None)
@@ -267,8 +281,12 @@ class SlideServer:
                 self._ensure_int8(armed_on)
         bags, rasters = [], []
         for b in builders:
-            tiles, coords, _ = b.get_inference_data()
-            bags.append(np.asarray(tiles))
+            raw, coords = b._load_cache(with_coords=True, mmap=True)
+            if raw.shape[0] == 0:  # same zeros fallback as streaming
+                rs = b.params["roi_size"]
+                raw = np.zeros((EMPTY_BAG_TILES, rs, rs, 3), np.uint8)
+                coords = np.zeros((0, 2), np.int64)
+            bags.append(np.asarray(raw))
             rasters.append(np.asarray(coords))
         probs, outs = inference.classify_slides_batched(
             self.params, self.cfg, bags, mesh=self.mesh,
@@ -278,7 +296,10 @@ class SlideServer:
         avar = np.asarray(outs["Aterm_var"]).ravel()
         preds = np.asarray(outs["y_pred_hat"]).ravel()
         secs = (time.perf_counter() - t0) / max(len(builders), 1)
+        n_done = 0
         for i, b in enumerate(builders):
+            if b.getname() in self.processed:
+                continue  # a retried group where this member already won
             T = rasters[i].shape[0]
             helpers.write_map(b.getmeta(), 0, rasters[i], Aterm[i][:, :T],
                               output_dir=self.args.out_root)
@@ -291,7 +312,8 @@ class SlideServer:
             print(f"serve: {b.getname()}: probs={np.round(probs[i], 4)} "
                   f"pred={int(preds[i])} ({b.getsize()} tiles, batched "
                   f"x{len(builders)}, {secs:.2f}s/slide)")
-        return len(builders)
+            n_done += 1
+        return n_done
 
     # ------------------------------------------------------------------
     def pending(self):
@@ -312,8 +334,10 @@ class SlideServer:
             name = os.path.split(p)[1].split(".")[0]
             if name in self.processed:
                 continue
-            if self.attempts.get(name, 0) >= self.MAX_ATTEMPTS:
-                continue  # gave up on this name until restart
+            count, last_ts = self.attempts.get(name, (0, 0.0))
+            if (count >= self.MAX_ATTEMPTS
+                    and now - last_ts < self.GIVEUP_BACKOFF_SECS):
+                continue  # backing off; retried after the window
             try:  # files can vanish between the glob and the stat
                 # (atomic-rename upload tooling) — skip, next poll decides
                 mtime = os.path.getmtime(p)
@@ -331,10 +355,12 @@ class SlideServer:
     def _note_failure(self, name, err=None):
         if err is not None:
             print(f"serve: ERROR on {name}: {err}", file=sys.stderr)
-        self.attempts[name] = self.attempts.get(name, 0) + 1
-        if self.attempts[name] >= self.MAX_ATTEMPTS:
-            print(f"serve: giving up on {name} after {self.MAX_ATTEMPTS} "
-                  "attempts (until restart)", file=sys.stderr)
+        count = self.attempts.get(name, (0, 0.0))[0] + 1
+        self.attempts[name] = (count, time.time())
+        if count >= self.MAX_ATTEMPTS:
+            print(f"serve: backing off {name} for "
+                  f"{self.GIVEUP_BACKOFF_SECS:.0f}s after {count} "
+                  "failures", file=sys.stderr)
 
     def _drain(self, paths):
         """Process one poll's backlog; returns (classified, failed)."""
@@ -349,27 +375,43 @@ class SlideServer:
                 try:
                     done += self.process_group(g)
                 except Exception as e:
-                    failed += len(g)
+                    # one poison slide must not burn its batch-mates'
+                    # retry budget: fall back to per-member streaming so
+                    # only the actual offender accrues a failure
+                    print(f"serve: batched group failed ({e}); "
+                          "retrying members individually", file=sys.stderr)
                     for b in g:
-                        self._note_failure(b.getname(), e)
+                        try:
+                            ok = self.process(b.params["fullpath"],
+                                              builder=b)
+                            if ok is None:
+                                continue
+                            done += ok
+                            if not ok:
+                                failed += 1
+                                self._note_failure(b.getname())
+                        except Exception as e2:
+                            failed += 1
+                            self._note_failure(b.getname(), e2)
 
         for path in paths:
             name = os.path.split(path)[1].split(".")[0]
+            builder = None
             if self.args.batch > 1:
                 # route small slides into the batch, big ones to streaming
                 try:
-                    params = ({"roi_size": self.args.roi_size}
-                              if self.args.roi_size else {})
-                    b = RoiBuilder(path, params)
-                    if b.getname() in self.processed:
+                    builder = self._make_builder(path)
+                    if builder.getname() in self.processed:
                         continue
-                    if "MISSING" in b.params["status"] and not b.build():
+                    if ("MISSING" in builder.params["status"]
+                            and not builder.build()):
                         failed += 1
                         self._note_failure(name)
                         continue
-                    if 0 <= b.getsize() <= self.args.batch_tile_cap:
-                        b.update_resolution_and_buffer(self.args.resolution)
-                        group.append(b)
+                    if 0 <= builder.getsize() <= self.args.batch_tile_cap:
+                        builder.update_resolution_and_buffer(
+                            self.args.resolution)
+                        group.append(builder)
                         if len(group) >= self.args.batch:
                             flush()
                         continue
@@ -377,8 +419,9 @@ class SlideServer:
                     failed += 1
                     self._note_failure(name, e)
                     continue
-            try:  # serial path: streaming (exact for any size)
-                ok = self.process(path)
+            try:  # serial path: streaming (exact for any size); reuses
+                # the builder the batch router already constructed
+                ok = self.process(path, builder=builder)
                 if ok is None:
                     continue
                 done += ok

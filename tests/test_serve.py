@@ -248,6 +248,30 @@ def test_serve_batched_matches_serial(slide_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_batch_mesh_group_padding(slide_tree, tmp_path):
+    """--batch 3 on an 8-device mesh (slides axis = 2): odd group sizes
+    (3, and the tail of 1) must pad with zero bags instead of crashing
+    device_put on the slides-axis sharding, and results match serial."""
+    tree, add_slide = slide_tree
+    add_slide("GHP_8_C_H&E.scn")  # 4 slides -> groups of 3 + 1
+    src = ["--watch_dir", str(tree / "slides")]
+    out_s = str(tmp_path / "serial")
+    out_m = str(tmp_path / "mesh_batched")
+    assert _run(src + ["--out_root", out_s] + COMMON) == 0
+    assert _run(src + ["--out_root", out_m, "--batch", "3",
+                       "--mesh", "8"] + COMMON) == 0
+
+    def parse(out):
+        return {ln.split(",")[0]: [float(p) for p in ln.split(",")[1:4]]
+                for ln in _rows(out)}
+
+    rs, rm = parse(out_s), parse(out_m)
+    assert rs.keys() == rm.keys() and len(rs) == 4
+    for name in rs:
+        np.testing.assert_allclose(rs[name], rm[name], atol=1e-4)
+
+
+@pytest.mark.slow
 def test_serve_mesh_int8_matches_single_device(slide_tree, tmp_path):
     """All three serving axes compose: chunks stream in time, each
     chunk's tile axis shards over the 8-device mesh, and the per-chunk
