@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# One-shot TPU work queue for the round-3 chip-idle backlog: run it the
+# moment `tools/chip_health.py` reports healthy. Ordering puts the
+# highest-value measurement first so a mid-sweep outage still yields the
+# int8 verdict.
+#
+#   1. tools/exp_int8.py      — W8A8 vs bf16 extractor, interleaved A/B
+#   2. bench.py --int8        — reproducible int8 headline artifact
+#   3. per-config quick-mode wall times (VERDICT r2 weak #1 evidence)
+#   4. tools/profile_gan.py --dtype bf16 — opt-in GAN mixed precision
+#
+# Usage: bash tools/tpu_r3_sweep.sh [outdir]   (default /tmp/tpu_r3)
+set -u
+OUT=${1:-/tmp/tpu_r3}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+echo "== gate: chip health"
+timeout 400 python tools/chip_health.py 2>/dev/null | tee "$OUT/health.json" \
+  | grep -q '"healthy": true' || { echo "chip unhealthy — abort"; exit 1; }
+
+echo "== 1/4 int8 vs bf16 extractor A/B (interleaved)"
+timeout 1800 python tools/exp_int8.py --k 3 --batch 4096 --rounds 4 \
+  2>&1 | tee "$OUT/exp_int8.log"
+
+echo "== 2/4 bench --int8 full-mode artifact"
+timeout 1800 python bench.py --int8 --no-baseline \
+  > "$OUT/bench_int8.json" 2> "$OUT/bench_int8.log"
+cat "$OUT/bench_int8.json"
+
+echo "== 3/4 quick-mode wall time per config"
+: > "$OUT/quick.jsonl"
+for c in 1 2 3 4 5 6 7; do
+  t0=$(date +%s)
+  timeout 900 python bench.py --config "$c" --quick --no-baseline \
+    >> "$OUT/quick.jsonl" 2>> "$OUT/quick.log"
+  rc=$?
+  t1=$(date +%s)
+  echo "config $c quick: rc=$rc wall=$((t1 - t0))s" \
+    | tee -a "$OUT/quick_times.txt"
+done
+
+echo "== 4/4 GAN d+g step, bf16 opt-in vs shipped f32"
+timeout 1800 python tools/profile_gan.py --res 64 --batch 64 \
+  --dtype bf16 --rounds 3 2>&1 | tee "$OUT/gan_bf16.log"
+
+echo "sweep complete -> $OUT"
