@@ -69,6 +69,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+DATA_AXIS = "data"
+
+
+def data_mesh(n_devices: int | None = None, *, devices=None) -> Mesh:
+    """1-axis mesh for plain batch data parallelism — the GAN trainer's
+    replacement for the reference's 4-GPU ``nn.DataParallel(G/D)``
+    (reference: style-based-gan-pytorch-master-512/train.py:267-274).
+    Per-sample losses shard over the batch; GSPMD inserts the gradient
+    all-reduce over ICI that DataParallel did with a gather."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), (DATA_AXIS,))
+
+
+def data_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, ...] batches shard over 'data' on the leading axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def style_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[n_styles, B, code] latent stacks: batch is axis 1."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def tile_stream_sharding(mesh: Mesh) -> NamedSharding:
     """[T, H, W, C] single-slide tile chunks: the tile axis spreads over
     EVERY device (both mesh axes) — used by the streaming slide pipeline,

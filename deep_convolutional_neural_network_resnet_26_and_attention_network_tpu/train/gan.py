@@ -287,6 +287,13 @@ def build_argparser():
     p.add_argument("--max_batches", default=None, type=int,
                    help="cap batches per epoch (smoke tests)")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--mesh", default=0, type=int,
+                   help="data-parallel G/D training over an N-device "
+                        "mesh (the reference's nn.DataParallel on 4 "
+                        "GPUs): batches shard over the batch axis, "
+                        "params replicate, GSPMD inserts the gradient "
+                        "all-reduce; numerically identical to "
+                        "single-device (tested)")
     p.add_argument("--compute_dtype", default="f32",
                    choices=["f32", "bf16"],
                    help="opt-in mixed precision for the G/D forward+"
@@ -332,6 +339,23 @@ def train_gan(args):
         params_g, params_d, opt_g, opt_d, g_running = load_gan_checkpoint(
             args.ckpt, params_g, params_d, opt_g, opt_d, g_running)
         print("Loaded GAN checkpoint", args.ckpt)
+
+    mesh = None
+    if getattr(args, "mesh", 0):
+        from ..parallel import mesh as M
+
+        if len(jax.devices()) < args.mesh:
+            raise RuntimeError(f"--mesh {args.mesh} but only "
+                               f"{len(jax.devices())} devices")
+        mesh = M.data_mesh(args.mesh)
+        rep = M.replicated(mesh)
+        put_rep = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jax.device_put(x, rep), t)
+        params_g, params_d, opt_g, opt_d, g_running = map(
+            put_rep, (params_g, params_d, opt_g, opt_d, g_running))
+        batch_shard = M.data_batch_sharding(mesh)
+        style_shard = M.style_batch_sharding(mesh)
+        print(f"GAN data-parallel over {args.mesh} devices")
 
     lr_sched = ({128: 0.0015, 256: 0.002, 512: 0.003, 1024: 0.003}
                 if args.sched else {})
@@ -411,12 +435,24 @@ def train_gan(args):
                          else min(1.0, (used_sample + 1) / args.phase))
                 used_sample += b
 
+                if mesh is not None:
+                    if b % args.mesh:
+                        # batches() drops ragged tails, so this only
+                        # fires on a batch size below the mesh width
+                        raise RuntimeError(
+                            f"batch {b} not divisible over --mesh "
+                            f"{args.mesh}; pick --batch_override as a "
+                            "multiple")
+                    real = jax.device_put(real, batch_shard)
+
                 with (timer.step() if timer is not None
                       else _ctx.nullcontext()):
                     rng, k_z, k_d_step, k_z2, k_g_step = \
                         jax.random.split(rng, 5)
                     mixing = args.mixing and py_rng.random() < 0.9
                     zs = jax.random.normal(k_z, (2, b, args.code_size))
+                    if mesh is not None:
+                        zs = jax.device_put(zs, style_shard)
                     sel = jnp.asarray(sg.sample_style_sel(
                         py_rng, 2 if mixing else 1, step, n_blocks),
                         jnp.int32)
@@ -432,6 +468,8 @@ def train_gan(args):
                         mixing = args.mixing and py_rng.random() < 0.9
                         zs2 = jax.random.normal(k_z2,
                                                 (2, b, args.code_size))
+                        if mesh is not None:
+                            zs2 = jax.device_put(zs2, style_shard)
                         sel2 = jnp.asarray(sg.sample_style_sel(
                             py_rng, 2 if mixing else 1, step, n_blocks),
                             jnp.int32)

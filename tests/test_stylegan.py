@@ -218,6 +218,29 @@ def test_gan_trainer_smoke(image_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_gan_trainer_mesh_smoke(image_dir, tmp_path):
+    """--mesh 8: the data-parallel trainer runs end to end (device_puts,
+    batch divisibility, replicated state through the checkpoint)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    out = str(tmp_path / "gan_mesh_out")
+    args = gan.build_argparser().parse_args([
+        "--data_dir", image_dir, "--output_dir", out,
+        "--epochs", "1", "--step_every", "1", "--init_size", "4",
+        "--max_size", "8", "--width_mult", str(WM), "--code_size", "32",
+        "--batch_override", "8", "--max_batches", "2", "--phase", "8",
+        "--mixing", "--mesh", "8",
+    ])
+    params_g, _, _ = gan.train_gan(args)
+    assert os.path.exists(os.path.join(out, "checkpoint",
+                                       "train_step-0.model"))
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree_util.tree_leaves(params_g))
+
+
+@pytest.mark.slow
 def test_gan_generate_smoke(image_dir, tmp_path):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         gan,
@@ -501,3 +524,60 @@ def test_bf16_steps_finite_and_update():
         for a, b in zip(jax.tree_util.tree_leaves(params_d),
                         jax.tree_util.tree_leaves(pd)))
     assert moved
+
+
+@pytest.mark.slow
+def test_gan_data_parallel_step_matches_single_device():
+    """--mesh data parallelism (the reference's nn.DataParallel on the
+    GAN, train.py:267-274): one d_step + g_step with batch/latents
+    sharded over an 8-device data mesh must produce the same parameters
+    as the single-device step — GSPMD's inserted all-reduce is the only
+    difference, and it is numerically a sum reordering."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        mesh as M,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    key = jax.random.PRNGKey(0)
+    step = 1  # 8 px
+    params_g = sg.init_styled_generator(key, style_dim=32, width_mult=WM)
+    params_d = sg.init_discriminator(key, width_mult=WM)
+    tx = gan.make_optimizers(0.001)
+    opt_g, opt_d = tx.init(params_g), tx.init(params_d)
+    d_step = gan.make_d_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx)
+    g_step = gan.make_g_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx)
+
+    b = 16
+    real = jax.random.normal(jax.random.fold_in(key, 1), (b, 8, 8, 3))
+    zs = jax.random.normal(jax.random.fold_in(key, 2), (2, b, 32))
+    n_blocks = len(sg._gen_layout(WM))
+    sel = jnp.zeros((n_blocks,), jnp.int32)  # no mixing
+    args = (jnp.float32(0.7), jnp.float32(1e-3), jax.random.fold_in(key, 3))
+
+    def run(mesh):
+        pd, od, pg, og, ema = params_d, opt_d, params_g, opt_g, params_g
+        r, z = real, zs
+        if mesh is not None:
+            rep = M.replicated(mesh)
+            put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, rep), t)
+            pd, od, pg, og, ema = map(put, (pd, od, pg, og, ema))
+            r = jax.device_put(r, M.data_batch_sharding(mesh))
+            z = jax.device_put(z, M.style_batch_sharding(mesh))
+        pd, od, aux = d_step(pd, od, pg, r, z, sel, *args)
+        pg, og, ema, gl = g_step(pg, og, ema, pd, z, sel, *args)
+        return pd, pg, ema, float(aux["disc_loss"]), float(gl)
+
+    pd1, pg1, ema1, dl1, gl1 = run(None)
+    mesh = M.data_mesh(8)
+    pd8, pg8, ema8, dl8, gl8 = run(mesh)
+
+    assert abs(dl1 - dl8) < 1e-5 and abs(gl1 - gl8) < 1e-5
+    for a, b_ in zip(jax.tree_util.tree_leaves((pd1, pg1, ema1)),
+                     jax.tree_util.tree_leaves((pd8, pg8, ema8))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=2e-5)
