@@ -122,33 +122,77 @@ def calibrate_resnet26(params, x, *, act_fn=None):
     return scales
 
 
-def _conv_i8(site, x_i8, sx, *, stride, padding):
-    """int8 conv with int32 accumulation, dequantized to f32."""
+def _conv_i8(site, x_i8, sx, *, stride, padding, impl="conv"):
+    """int8 conv with int32 accumulation, dequantized to f32.
+
+    impl="conv": ``lax.conv_general_dilated`` with int8 operands —
+    whether XLA's conv emitter taps the MXU int8 rate at these shapes is
+    the empirical question. impl="dot": explicit im2col (kh*kw strided
+    int8 slices, memory-bound VPU work) feeding one int8x int8->int32
+    ``dot_general`` — the documented quantized-matmul path on TPU. Both
+    produce BIT-IDENTICAL int32 accumulations (tested); only the
+    lowering differs."""
     from jax import lax
 
-    p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
-    acc = lax.conv_general_dilated(
-        x_i8, site["wq"], window_strides=(stride, stride), padding=p,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
+    if impl == "dot":
+        acc = _conv_i8_dot_acc(site["wq"], x_i8, stride=stride,
+                               padding=padding)
+    else:
+        p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
+        acc = lax.conv_general_dilated(
+            x_i8, site["wq"], window_strides=(stride, stride), padding=p,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
     out = acc.astype(jnp.float32) * (sx * site["sw"])
     if "b" in site:
         out = out + site["b"]
     return out
 
 
-def apply_resnet26_int8(qparams, scales, x, *, act_fn=None):
+def _conv_i8_dot_acc(wq, x_i8, *, stride, padding):
+    """im2col + int8 dot_general: [N,H,W,Cin] int8 -> [N,OH,OW,Cout] int32.
+
+    Patch columns are built from kh*kw strided slices concatenated on the
+    channel axis in (dy, dx, cin) order — exactly the C-order flatten of
+    the HWIO weight, so one reshape pairs them for the MXU matmul."""
+    from jax import lax
+
+    kh, kw, cin, cout = wq.shape
+    x = jnp.pad(x_i8, ((0, 0), (padding, padding), (padding, padding),
+                       (0, 0)))
+    n = x.shape[0]
+    oh = (x.shape[1] - kh) // stride + 1
+    ow = (x.shape[2] - kw) // stride + 1
+    cols = []
+    for dy in range(kh):
+        for dx in range(kw):
+            cols.append(lax.slice(
+                x, (0, dy, dx, 0),
+                (n, dy + (oh - 1) * stride + 1,
+                 dx + (ow - 1) * stride + 1, cin),
+                (1, stride, stride, 1)))
+    patches = jnp.concatenate(cols, axis=-1)       # [N,OH,OW,kh*kw*cin]
+    acc = lax.dot_general(
+        patches.reshape(n * oh * ow, kh * kw * cin),
+        wq.reshape(kh * kw * cin, cout),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.reshape(n, oh, ow, cout)
+
+
+def apply_resnet26_int8(qparams, scales, x, *, act_fn=None, impl="conv"):
     """Quantized forward: x [N, H, W, 3] f32 tiles -> [N, embed] f32.
 
     Same topology as :func:`resnet.apply_resnet26` (conv7 stem);
     elementwise glue (dequant -> lrelu -> residual add -> requant) stays
     f32 and fuses into the adjacent convs under XLA, so the tensors that
     actually land in HBM between convs are the int8 operands.
+    ``impl`` picks the conv lowering (see :func:`_conv_i8`).
     """
     act = act_fn or N.leaky_relu
     h = _conv_i8(qparams["conv1"], _quant(x, scales["conv1"]),
-                 scales["conv1"], stride=2, padding=3)
+                 scales["conv1"], stride=2, padding=3, impl=impl)
     h = N.max_pool(act(h))
     for stage_idx, (stage, sstage) in enumerate(
             zip(qparams["stages"], scales["stages"])):
@@ -156,12 +200,12 @@ def apply_resnet26_int8(qparams, scales, x, *, act_fn=None):
             stride = 2 if (stage_idx > 0 and b == 0) else 1
             h_i8 = _quant(h, sb["conv1"])
             out = act(_conv_i8(block["conv1"], h_i8, sb["conv1"],
-                               stride=stride, padding=1))
+                               stride=stride, padding=1, impl=impl))
             out = _conv_i8(block["conv2"], _quant(out, sb["conv2"]),
-                           sb["conv2"], stride=1, padding=1)
+                           sb["conv2"], stride=1, padding=1, impl=impl)
             if "downsample" in block:
                 identity = _conv_i8(block["downsample"], h_i8, sb["conv1"],
-                                    stride=stride, padding=0)
+                                    stride=stride, padding=0, impl=impl)
             else:
                 identity = h
             h = act(out + identity)

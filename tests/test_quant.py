@@ -74,6 +74,18 @@ def test_quantized_embeddings_close_to_f32(full_width_setup):
     assert rel.max() < 0.08
 
 
+def test_int8_dot_impl_bit_exact_vs_conv(full_width_setup):
+    """The im2col+dot_general lowering is the SAME integer math as the
+    int8 conv — int32 accumulation cannot overflow at these fan-ins
+    (3x3x80 worst case ~12M << 2^31), so reordering the adds is exact
+    and the two impls must agree bit for bit."""
+    params, qp, sc = full_width_setup
+    x = jax.random.uniform(jax.random.PRNGKey(5), (4, 64, 64, 3))
+    a = Q.apply_resnet26_int8(qp, sc, x)
+    b = Q.apply_resnet26_int8(qp, sc, x, impl="dot")
+    assert jnp.all(a == b)
+
+
 def test_int8_extractor_slide_probability_drift():
     """Plugged into the full MIL head, the int8 extractor moves slide
     probabilities by well under the 1e-3 parity budget and preserves the

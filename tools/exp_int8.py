@@ -37,7 +37,7 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.ops i
 )
 
 
-def build_variants(params, qp, sc):
+def build_variants(params, qp, sc, impls=("conv",)):
     @jax.jit
     def fwd_a(p, x):  # shipped headline: bf16
         def step(_, xb):
@@ -46,14 +46,20 @@ def build_variants(params, qp, sc):
                                                compute_dtype=jnp.bfloat16)
         return lax.scan(step, None, x)[1]
 
-    @jax.jit
-    def fwd_b(qpp, x):  # int8 W8A8
-        def step(_, xb):
-            xf = xb.astype(jnp.float32) / jnp.float32(255.0)
-            return None, Q.apply_resnet26_int8(qpp, sc, xf)
-        return lax.scan(step, None, x)[1]
+    variants = {"full/bf16": (fwd_a, params)}
 
-    return {"full/bf16": (fwd_a, params), "full/int8": (fwd_b, qp)}
+    def make_int8(impl):
+        @jax.jit
+        def fwd(qpp, x):  # int8 W8A8; impl picks the conv lowering
+            def step(_, xb):
+                xf = xb.astype(jnp.float32) / jnp.float32(255.0)
+                return None, Q.apply_resnet26_int8(qpp, sc, xf, impl=impl)
+            return lax.scan(step, None, x)[1]
+        return fwd
+
+    for impl in impls:
+        variants[f"full/int8-{impl}"] = (make_int8(impl), qp)
+    return variants
 
 
 def main():
@@ -62,6 +68,11 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--res", type=int, default=300)
+    ap.add_argument("--impl", default="both",
+                    choices=["conv", "dot", "both"],
+                    help="int8 conv lowering: XLA int8 conv, explicit "
+                         "im2col+dot_general (bit-identical math), or "
+                         "A/B both against bf16")
     args = ap.parse_args()
     K, B, RES = args.k, args.batch, args.res
 
@@ -71,7 +82,8 @@ def main():
     calib = calib_u8.astype(jnp.float32) / 255.0
     qp, sc = Q.quantize_and_calibrate(params, calib)
     qp = jax.device_put(qp)
-    variants = build_variants(params, qp, sc)
+    impls = ("conv", "dot") if args.impl == "both" else (args.impl,)
+    variants = build_variants(params, qp, sc, impls)
 
     shape = (K, B, RES, RES, 3)
     gen = jax.jit(lambda k: jax.random.randint(k, shape, 0, 256, jnp.uint8))
@@ -85,7 +97,7 @@ def main():
     # numeric sanity at a tiny batch before timing
     xs = fresh(99)[:1, :8]
     ya = variants["full/bf16"][0](params, xs).astype(jnp.float32)
-    yb = variants["full/int8"][0](qp, xs).astype(jnp.float32)
+    yb = variants[f"full/int8-{impls[0]}"][0](qp, xs).astype(jnp.float32)
     ya_n, yb_n = np.asarray(ya[0], np.float64), np.asarray(yb[0], np.float64)
     cos = np.sum(ya_n * yb_n, -1) / (np.linalg.norm(ya_n, axis=-1)
                                      * np.linalg.norm(yb_n, axis=-1))
@@ -115,8 +127,9 @@ def main():
         med = float(np.median(results[name]))
         print(f"{name:12s} {med:10.0f} tiles/s")
     a = float(np.median(results["full/bf16"]))
-    b = float(np.median(results["full/int8"]))
-    print(f"int8/bf16 = {b / a:.3f}x")
+    for impl in impls:
+        b = float(np.median(results[f"full/int8-{impl}"]))
+        print(f"int8-{impl}/bf16 = {b / a:.3f}x")
 
 
 if __name__ == "__main__":
