@@ -129,14 +129,21 @@ def _conv_i8(site, x_i8, sx, *, stride, padding, impl="conv"):
     whether XLA's conv emitter taps the MXU int8 rate at these shapes is
     the empirical question. impl="dot": explicit im2col (kh*kw strided
     int8 slices, memory-bound VPU work) feeding one int8x int8->int32
-    ``dot_general`` — the documented quantized-matmul path on TPU. Both
-    produce BIT-IDENTICAL int32 accumulations (tested); only the
+    ``dot_general`` — the documented quantized-matmul path on TPU, but
+    its patch buffer is kh*kw x the activation bytes (watch HBM at big
+    batches). impl="shift": kh*kw SEPARATE [.,cin]x[cin,cout] int8 dots
+    accumulated in int32 — no patch buffer (peak extra = the int32 acc
+    the other impls also hold), at the cost of K=cin-thin matmuls. All
+    three produce BIT-IDENTICAL int32 accumulations (tested); only the
     lowering differs."""
     from jax import lax
 
     if impl == "dot":
         acc = _conv_i8_dot_acc(site["wq"], x_i8, stride=stride,
                                padding=padding)
+    elif impl == "shift":
+        acc = _conv_i8_shift_acc(site["wq"], x_i8, stride=stride,
+                                 padding=padding)
     else:
         p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
         acc = lax.conv_general_dilated(
@@ -178,6 +185,33 @@ def _conv_i8_dot_acc(wq, x_i8, *, stride, padding):
         wq.reshape(kh * kw * cin, cout),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
+    return acc.reshape(n, oh, ow, cout)
+
+
+def _conv_i8_shift_acc(wq, x_i8, *, stride, padding):
+    """Shift-add int8 conv: one thin [., cin] x [cin, cout] int8 dot per
+    (dy, dx) tap, summed in int32 — same math as im2col without its
+    kh*kw-times patch buffer."""
+    from jax import lax
+
+    kh, kw, cin, cout = wq.shape
+    x = jnp.pad(x_i8, ((0, 0), (padding, padding), (padding, padding),
+                       (0, 0)))
+    n = x.shape[0]
+    oh = (x.shape[1] - kh) // stride + 1
+    ow = (x.shape[2] - kw) // stride + 1
+    acc = jnp.zeros((n * oh * ow, cout), jnp.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = lax.slice(
+                x, (0, dy, dx, 0),
+                (n, dy + (oh - 1) * stride + 1,
+                 dx + (ow - 1) * stride + 1, cin),
+                (1, stride, stride, 1))
+            acc = acc + lax.dot_general(
+                sl.reshape(n * oh * ow, cin), wq[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
     return acc.reshape(n, oh, ow, cout)
 
 

@@ -82,8 +82,9 @@ def test_int8_dot_impl_bit_exact_vs_conv(full_width_setup):
     params, qp, sc = full_width_setup
     x = jax.random.uniform(jax.random.PRNGKey(5), (4, 64, 64, 3))
     a = Q.apply_resnet26_int8(qp, sc, x)
-    b = Q.apply_resnet26_int8(qp, sc, x, impl="dot")
-    assert jnp.all(a == b)
+    for impl in ("dot", "shift"):
+        b = Q.apply_resnet26_int8(qp, sc, x, impl=impl)
+        assert jnp.all(a == b), impl
 
 
 def test_int8_extractor_slide_probability_drift():

@@ -68,11 +68,13 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--res", type=int, default=300)
-    ap.add_argument("--impl", default="both",
-                    choices=["conv", "dot", "both"],
-                    help="int8 conv lowering: XLA int8 conv, explicit "
-                         "im2col+dot_general (bit-identical math), or "
-                         "A/B both against bf16")
+    ap.add_argument("--impl", default="all",
+                    choices=["conv", "dot", "shift", "both", "all"],
+                    help="int8 conv lowering(s) to A/B against bf16: XLA "
+                         "int8 conv, im2col+dot_general (kh*kw-times "
+                         "patch buffer — shrink --batch), shift-add thin "
+                         "dots, the first two, or all three. All are "
+                         "bit-identical math")
     args = ap.parse_args()
     K, B, RES = args.k, args.batch, args.res
 
@@ -82,7 +84,8 @@ def main():
     calib = calib_u8.astype(jnp.float32) / 255.0
     qp, sc = Q.quantize_and_calibrate(params, calib)
     qp = jax.device_put(qp)
-    impls = ("conv", "dot") if args.impl == "both" else (args.impl,)
+    impls = {"both": ("conv", "dot"),
+             "all": ("conv", "dot", "shift")}.get(args.impl, (args.impl,))
     variants = build_variants(params, qp, sc, impls)
 
     shape = (K, B, RES, RES, 3)

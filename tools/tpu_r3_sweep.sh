@@ -20,8 +20,13 @@ timeout 400 python tools/chip_health.py 2>/dev/null | tee "$OUT/health.json" \
   | grep -q '"healthy": true' || { echo "chip unhealthy — abort"; exit 1; }
 
 echo "== 1/4 int8 vs bf16 extractor A/B (interleaved)"
+# headline batch first with the conv lowering only (the dot lowering's
+# im2col patch buffer is kh*kw x the activation bytes — OOM risk at
+# 3x4096); then all three lowerings at a memory-safe 1024
 timeout 1800 python tools/exp_int8.py --k 3 --batch 4096 --rounds 4 \
-  2>&1 | tee "$OUT/exp_int8.log"
+  --impl conv 2>&1 | tee "$OUT/exp_int8_b4096.log"
+timeout 1800 python tools/exp_int8.py --k 3 --batch 1024 --rounds 4 \
+  --impl all 2>&1 | tee "$OUT/exp_int8_b1024.log"
 
 echo "== 2/4 bench --int8 full-mode artifact"
 timeout 1800 python bench.py --int8 --no-baseline \
