@@ -275,7 +275,7 @@ def calib_tiles_from_builder(builder, want: int, resolution: int):
 
 
 def make_int8_transform_extract(cnn_params, calib_tiles, resolution: int,
-                                *, qp_sc=None):
+                                *, qp_sc=None, impl="conv"):
     """Per-chunk streaming program for the int8 serving path: raw uint8
     tiles -> eval_transform -> int8 forward, one jitted dispatch. Drop-in
     for ``parallel.inference.classify_slide_streaming(...,
@@ -292,12 +292,13 @@ def make_int8_transform_extract(cnn_params, calib_tiles, resolution: int,
     @jax.jit
     def run(_cnn_params_unused, raw_u8):
         tiles = transforms.eval_transform(raw_u8, resolution=resolution)
-        return apply_resnet26_int8(qp, sc, tiles)
+        return apply_resnet26_int8(qp, sc, tiles, impl=impl)
 
     return run
 
 
-def make_int8_extractor(cnn_params, calib_tiles, *, qp_sc=None):
+def make_int8_extractor(cnn_params, calib_tiles, *, qp_sc=None,
+                        impl="conv"):
     """Quantize + calibrate once, return an ``extractor`` callable for
     ``apply_attention_mil(..., extractor=...)`` (the pluggable tile
     embedder). The returned closure ignores the live cnn params — the
@@ -307,6 +308,6 @@ def make_int8_extractor(cnn_params, calib_tiles, *, qp_sc=None):
               else quantize_and_calibrate(cnn_params, calib_tiles))
 
     def extract(_cnn_params_unused, tiles):
-        return apply_resnet26_int8(qp, sc, tiles)
+        return apply_resnet26_int8(qp, sc, tiles, impl=impl)
 
     return extract
