@@ -215,6 +215,19 @@ class Driver:
             cnn, calib, self.args.resolution, qp_sc=qp_sc)
         print(f"int8: W8A8 extractor armed ({n} calibration tiles)")
 
+    def _halt_non_finite(self, epoch: int, loss_sum: float) -> bool:
+        """Failure detection: a NaN/Inf training loss halts the run
+        BEFORE checkpointing, so the newest checkpoint on disk stays the
+        last healthy epoch and ``--ckpt auto`` resumes from good state.
+        (The reference saved whatever the epoch produced,
+        gbm/classify_combined.py:468-474 — a diverged run poisoned its
+        own resume point.)"""
+        print(f"FATAL: non-finite training loss (sum={loss_sum}) at epoch "
+              f"{epoch}; halting WITHOUT checkpointing — fix the config "
+              "and resume from the last good checkpoint (--ckpt auto)",
+              file=sys.stderr)
+        return False
+
     def epoch_key(self, epoch: int, *, validate: bool = False):
         """Epoch-derived rng root: every stochastic stream of epoch E is a
         pure function of (seed, E), so a run resumed from the epoch E-1
@@ -319,6 +332,8 @@ class Driver:
                     kld=float(fetched["KLD"].sum()))
         l2 = float(fetched["l2"][-1]) if n else 0.0
 
+        if not np.isfinite(sums["loss"]):
+            return self._halt_non_finite(epoch, sums["loss"])
         checkpoint.save(checkpoint.checkpoint_path(self.output_dir, epoch),
                         self.state.params, self.state.opt_state)
         n = max(n, 1)
@@ -411,6 +426,8 @@ class Driver:
         predictions = ([int(x) for x in _np.asarray(jnp.concatenate(preds_dev))]
                        if preds_dev else [])
         dt = time.time() - t0
+        if not _np.isfinite(float(fetched["loss"].sum())):
+            return self._halt_non_finite(epoch, float(fetched["loss"].sum()))
         checkpoint.save(checkpoint.checkpoint_path(self.output_dir, epoch),
                         self.state.params, self.state.opt_state)
         n = max(n, 1)

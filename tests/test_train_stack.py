@@ -337,6 +337,52 @@ def test_classify_cli_interface_mode(synthetic_tree, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_nan_guard_halts_without_checkpoint(synthetic_tree, tmp_path,
+                                            monkeypatch):
+    """Failure detection: an epoch whose training loss is non-finite must
+    halt the run WITHOUT writing that epoch's checkpoint — the newest
+    file on disk stays the last healthy epoch, so --ckpt auto resumes
+    from good state instead of the poisoned weights the reference would
+    have saved."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        steps,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    real_make_bag_grad = steps.make_bag_grad
+
+    def poisoned_make_bag_grad(cfg, compute_dtype=None):
+        real = real_make_bag_grad(cfg, compute_dtype=compute_dtype)
+
+        def fn(params, tiles, mask, label, rng):
+            outs, grads = real(params, tiles, mask, label, rng)
+            outs = dict(outs)
+            outs["loss"] = jnp.float32(np.nan)  # diverged step
+            return outs, grads
+
+        return fn
+
+    monkeypatch.setattr(classify.steps, "make_bag_grad",
+                        poisoned_make_bag_grad)
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "NAN", "--arch", "tiny", "--resolution", "16",
+        "--epoch_start", "0", "--epoch_end", "3", "--accum", "2",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32",
+    ])
+    assert rc == 0  # halted cleanly, not crashed
+    run = out_root / "run_NAN"
+    ckpts = [f for f in os.listdir(run) if f.startswith("train_step-")]
+    assert ckpts == []  # nothing poisoned was saved
+
+
+@pytest.mark.slow
 def test_classify_cli_int8_serving(synthetic_tree, tmp_path, monkeypatch):
     """--int8 W8A8 serving: interface mode with a forced-streaming
     threshold exercises BOTH quantized paths — the padded-bag eval
