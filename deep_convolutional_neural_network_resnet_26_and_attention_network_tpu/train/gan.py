@@ -501,6 +501,15 @@ def train_gan(args):
                 "--batch_override with a size <= the dataset size.")
         gen_loss, disc_loss, gp = (float(gen_loss_dev), float(disc_loss_dev),
                                    float(gp_dev))
+        if not all(map(math.isfinite, (gen_loss, disc_loss, gp))):
+            # failure detection, same contract as the classifier's NaN
+            # guard: halt WITHOUT checkpointing the poisoned epoch so the
+            # newest checkpoint on disk stays the last healthy one
+            print(f"FATAL: non-finite GAN losses at epoch {epoch} "
+                  f"(G {gen_loss}, D {disc_loss}, GP {gp}); halting "
+                  "WITHOUT checkpointing — resume from the previous "
+                  "epoch's checkpoint", file=sys.stderr)
+            return params_g, params_d, g_running
         print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "
               f"G {gen_loss:.3f}; D {disc_loss:.3f}; GP {gp:.3f}; "
               f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")

@@ -581,3 +581,39 @@ def test_gan_data_parallel_step_matches_single_device():
                      jax.tree_util.tree_leaves((pd8, pg8, ema8))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_gan_nan_guard_halts_without_checkpoint(image_dir, tmp_path,
+                                                monkeypatch):
+    """A diverged GAN epoch (non-finite losses) halts before the 5-part
+    checkpoint is written — same failure-detection contract as the
+    classifier's NaN guard."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    real = gan.make_d_step
+
+    def poisoned(step, **kw):
+        fn = real(step, **kw)
+
+        def d_step(*a):
+            pd, od, aux = fn(*a)
+            aux = dict(aux)
+            aux["disc_loss"] = jnp.float32(np.nan)
+            return pd, od, aux
+
+        return d_step
+
+    monkeypatch.setattr(gan, "make_d_step", poisoned)
+    out = str(tmp_path / "gan_nan_out")
+    args = gan.build_argparser().parse_args([
+        "--data_dir", image_dir, "--output_dir", out,
+        "--epochs", "2", "--step_every", "1", "--init_size", "4",
+        "--max_size", "8", "--width_mult", str(WM), "--code_size", "32",
+        "--batch_override", "4", "--max_batches", "1", "--phase", "8",
+    ])
+    gan.train_gan(args)
+    assert not os.path.exists(os.path.join(out, "checkpoint",
+                                           "train_step-0.model"))
