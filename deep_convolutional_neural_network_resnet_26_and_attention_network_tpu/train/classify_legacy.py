@@ -203,6 +203,14 @@ def train_epoch(args, epoch, dataset, state, fns, writer, global_steps):
     if writer is not None:
         writer.log_epoch(epoch, {"train_loss": loss, "train_error": err})
     _classification_report(labels, preds)
+    if losses and not math.isfinite(loss):
+        # failure detection (same contract as the main driver): halt
+        # WITHOUT checkpointing the diverged epoch so the newest
+        # checkpoint stays a healthy resume point
+        raise RuntimeError(
+            f"non-finite training loss ({loss}) at epoch {epoch}; "
+            "halted without checkpointing — resume from the previous "
+            "epoch's checkpoint")
     # optimizer state included (reference saved both, gbm/classify.py:
     # 349-355) — required for the bit-exact resume guarantee
     checkpoint.save(
