@@ -138,14 +138,15 @@ def _conv_i8(site, x_i8, sx, *, stride, padding, impl="conv"):
     lowering differs."""
     from jax import lax
 
+    # normalize the padding form ONCE so every impl honors both the int
+    # and the [(lo, hi), (lo, hi)] spellings (the hand lowerings pad via
+    # jnp.pad, which needs explicit per-edge values)
+    p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
     if impl == "dot":
-        acc = _conv_i8_dot_acc(site["wq"], x_i8, stride=stride,
-                               padding=padding)
+        acc = _conv_i8_dot_acc(site["wq"], x_i8, stride=stride, padding=p)
     elif impl == "shift":
-        acc = _conv_i8_shift_acc(site["wq"], x_i8, stride=stride,
-                                 padding=padding)
+        acc = _conv_i8_shift_acc(site["wq"], x_i8, stride=stride, padding=p)
     else:
-        p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
         acc = lax.conv_general_dilated(
             x_i8, site["wq"], window_strides=(stride, stride), padding=p,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -162,11 +163,12 @@ def _conv_i8_dot_acc(wq, x_i8, *, stride, padding):
 
     Patch columns are built from kh*kw strided slices concatenated on the
     channel axis in (dy, dx, cin) order — exactly the C-order flatten of
-    the HWIO weight, so one reshape pairs them for the MXU matmul."""
+    the HWIO weight, so one reshape pairs them for the MXU matmul.
+    ``padding`` is the normalized pair-list form."""
     from jax import lax
 
     kh, kw, cin, cout = wq.shape
-    x = jnp.pad(x_i8, ((0, 0), (padding, padding), (padding, padding),
+    x = jnp.pad(x_i8, ((0, 0), tuple(padding[0]), tuple(padding[1]),
                        (0, 0)))
     n = x.shape[0]
     oh = (x.shape[1] - kh) // stride + 1
@@ -191,11 +193,12 @@ def _conv_i8_dot_acc(wq, x_i8, *, stride, padding):
 def _conv_i8_shift_acc(wq, x_i8, *, stride, padding):
     """Shift-add int8 conv: one thin [., cin] x [cin, cout] int8 dot per
     (dy, dx) tap, summed in int32 — same math as im2col without its
-    kh*kw-times patch buffer."""
+    kh*kw-times patch buffer. ``padding`` is the normalized pair-list
+    form."""
     from jax import lax
 
     kh, kw, cin, cout = wq.shape
-    x = jnp.pad(x_i8, ((0, 0), (padding, padding), (padding, padding),
+    x = jnp.pad(x_i8, ((0, 0), tuple(padding[0]), tuple(padding[1]),
                        (0, 0)))
     n = x.shape[0]
     oh = (x.shape[1] - kh) // stride + 1

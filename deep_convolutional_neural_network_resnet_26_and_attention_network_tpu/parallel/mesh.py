@@ -37,6 +37,9 @@ def make_mesh(n_devices: int | None = None, *, slides: int | None = None,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(f"requested a {n_devices}-device mesh but only "
+                         f"{len(devices)} devices are available")
     devices = devices[:n_devices]
     if slides is None:
         slides = 1
@@ -82,6 +85,12 @@ def data_mesh(n_devices: int | None = None, *, devices=None) -> Mesh:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        # validate HERE, not per caller: devices[:n] would silently hand
+        # back a narrower mesh than requested, and every divisibility
+        # check keyed on the requested width would then disagree with it
+        raise ValueError(f"requested a {n_devices}-device mesh but only "
+                         f"{len(devices)} devices are available")
     return Mesh(np.asarray(devices[:n_devices]), (DATA_AXIS,))
 
 

@@ -33,7 +33,7 @@ from ..data.loader import sample_data
 from ..models import attention_mil as amil
 from ..parallel import steps
 from ..utils import helpers, plots, profiling
-from . import checkpoint, schedule
+from . import DIVERGED_EXIT, checkpoint, schedule
 
 TARGET_NAMES = ["A", "B", "C"]
 
@@ -143,6 +143,7 @@ class Driver:
         self.heat_dir = os.path.join(output_dir, "heatmaps")
         os.makedirs(self.heat_dir, exist_ok=True)
         self.compute_dtype = None if args.f32 else jnp.bfloat16
+        self.diverged = False  # set by the non-finite-loss guard
         # per-run streaming threshold (--stream_tiles); the class attribute
         # keeps the pre-flag default for direct Driver construction.
         # `is not None` so --stream_tiles 0 (force-stream every slide)
@@ -226,6 +227,7 @@ class Driver:
               f"{epoch}; halting WITHOUT checkpointing — fix the config "
               "and resume from the last good checkpoint (--ckpt auto)",
               file=sys.stderr)
+        self.diverged = True  # main() exits DIVERGED_EXIT, not 0
         return False
 
     def epoch_key(self, epoch: int, *, validate: bool = False):
@@ -810,7 +812,9 @@ def main(argv=None):
             tb_writer.log_epoch(ep, epoch_stats)
     if tb_writer is not None:
         tb_writer.close()
-    return 0
+    # a halted-on-divergence run must be distinguishable from success to
+    # supervisors (the Stop-stage break, by contrast, is a clean finish)
+    return DIVERGED_EXIT if driver.diverged else 0
 
 
 if __name__ == "__main__":

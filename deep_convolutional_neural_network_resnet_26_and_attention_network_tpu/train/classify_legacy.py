@@ -39,7 +39,7 @@ from ..models import blocks, disc_extractor
 from ..models import stylegan as sg
 from ..parallel import steps
 from ..utils import helpers
-from . import checkpoint, gan
+from . import DIVERGED_EXIT, Diverged, checkpoint, gan
 
 # per-group LR multipliers (reference: gbm/classify.py:368-373); "cnn" is
 # inert here because the discriminator extractor is frozen
@@ -207,7 +207,7 @@ def train_epoch(args, epoch, dataset, state, fns, writer, global_steps):
         # failure detection (same contract as the main driver): halt
         # WITHOUT checkpointing the diverged epoch so the newest
         # checkpoint stays a healthy resume point
-        raise RuntimeError(
+        raise Diverged(
             f"non-finite training loss ({loss}) at epoch {epoch}; "
             "halted without checkpointing — resume from the previous "
             "epoch's checkpoint")
@@ -327,10 +327,16 @@ def main(argv=None):
         return 0
 
     global_steps = 0
-    for epoch in range(args.epoch_start, args.epoch_end):
-        state, global_steps = train_epoch(args, epoch, dataset, state, fns,
-                                          writer, global_steps)
-        validate(args, epoch, dataset, state, fns, writer)
+    try:
+        for epoch in range(args.epoch_start, args.epoch_end):
+            state, global_steps = train_epoch(args, epoch, dataset, state,
+                                              fns, writer, global_steps)
+            validate(args, epoch, dataset, state, fns, writer)
+    except Diverged as e:
+        # same supervisor-visible exit contract as the main driver and
+        # the GAN trainer: divergence is exit DIVERGED_EXIT, not 0/crash
+        print(f"FATAL: {e}", file=sys.stderr)
+        return DIVERGED_EXIT
     return 0
 
 

@@ -31,7 +31,7 @@ import optax
 from ..data.gan_dataset import ImageFolderDataset, MultiResolutionStore
 from ..data.loader import prefetch_iter
 from ..models import stylegan as sg
-from . import checkpoint
+from . import DIVERGED_EXIT, Diverged, checkpoint
 
 STEP_BATCH_SIZE = {4: 256, 8: 256, 16: 256, 32: 256, 64: 256, 128: 128,
                    256: 128, 512: 100}  # reference: train.py:61
@@ -347,6 +347,21 @@ def train_gan(args):
         if len(jax.devices()) < args.mesh:
             raise RuntimeError(f"--mesh {args.mesh} but only "
                                f"{len(jax.devices())} devices")
+        # validate the WHOLE progressive batch schedule up front: the
+        # reference schedule (STEP_BATCH_SIZE[512]=100) is not divisible
+        # by e.g. 8, and discovering that only when training reaches
+        # 512px would kill a multi-day run mid-flight
+        _max_step = int(math.log2(args.max_size)) - 2
+        _sched = ({args.batch_override} if args.batch_override else {
+            STEP_BATCH_SIZE.get(
+                4 * 2 ** min(e // args.step_every, _max_step), 32)
+            for e in range(args.epoch_start, args.epochs)})
+        _bad = sorted(b for b in _sched if b % args.mesh)
+        if _bad:
+            raise RuntimeError(
+                f"batch schedule {_bad} not divisible over --mesh "
+                f"{args.mesh}; pass --batch_override with a multiple "
+                f"of {args.mesh}")
         mesh = M.data_mesh(args.mesh)
         rep = M.replicated(mesh)
         put_rep = lambda t: jax.tree_util.tree_map(  # noqa: E731
@@ -437,8 +452,8 @@ def train_gan(args):
 
                 if mesh is not None:
                     if b % args.mesh:
-                        # batches() drops ragged tails, so this only
-                        # fires on a batch size below the mesh width
+                        # unreachable after the startup schedule check;
+                        # kept as a belt vs future schedule edits
                         raise RuntimeError(
                             f"batch {b} not divisible over --mesh "
                             f"{args.mesh}; pick --batch_override as a "
@@ -504,12 +519,13 @@ def train_gan(args):
         if not all(map(math.isfinite, (gen_loss, disc_loss, gp))):
             # failure detection, same contract as the classifier's NaN
             # guard: halt WITHOUT checkpointing the poisoned epoch so the
-            # newest checkpoint on disk stays the last healthy one
-            print(f"FATAL: non-finite GAN losses at epoch {epoch} "
-                  f"(G {gen_loss}, D {disc_loss}, GP {gp}); halting "
-                  "WITHOUT checkpointing — resume from the previous "
-                  "epoch's checkpoint", file=sys.stderr)
-            return params_g, params_d, g_running
+            # newest checkpoint on disk stays the last healthy one;
+            # main() converts this to exit code DIVERGED_EXIT
+            raise Diverged(
+                f"non-finite GAN losses at epoch {epoch} "
+                f"(G {gen_loss}, D {disc_loss}, GP {gp}); halted "
+                "WITHOUT checkpointing — resume from the previous "
+                "epoch's checkpoint")
         print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "
               f"G {gen_loss:.3f}; D {disc_loss:.3f}; GP {gp:.3f}; "
               f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")
@@ -534,7 +550,11 @@ def main(argv=None):
     compcache.enable()  # persistent XLA cache across runs
     args = build_argparser().parse_args(argv)
     print(args)
-    train_gan(args)
+    try:
+        train_gan(args)
+    except Diverged as e:
+        print(f"FATAL: {e}", file=sys.stderr)
+        return DIVERGED_EXIT
     return 0
 
 

@@ -614,6 +614,7 @@ def test_gan_nan_guard_halts_without_checkpoint(image_dir, tmp_path,
         "--max_size", "8", "--width_mult", str(WM), "--code_size", "32",
         "--batch_override", "4", "--max_batches", "1", "--phase", "8",
     ])
-    gan.train_gan(args)
+    with pytest.raises(gan.Diverged):
+        gan.train_gan(args)
     assert not os.path.exists(os.path.join(out, "checkpoint",
                                            "train_step-0.model"))

@@ -376,7 +376,11 @@ def test_nan_guard_halts_without_checkpoint(synthetic_tree, tmp_path,
         "--label_sheet", str(synthetic_tree / "clusters.csv"),
         "--output_root", str(out_root), "--f32",
     ])
-    assert rc == 0  # halted cleanly, not crashed
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu import (
+        train as train_pkg,
+    )
+
+    assert rc == train_pkg.DIVERGED_EXIT  # halted cleanly, visibly != 0
     run = out_root / "run_NAN"
     ckpts = [f for f in os.listdir(run) if f.startswith("train_step-")]
     assert ckpts == []  # nothing poisoned was saved
@@ -493,6 +497,49 @@ def test_classify_legacy_cli(synthetic_tree, tmp_path, monkeypatch):
     assert any(n.startswith("prediction-AGMIL-ATTN") and n.endswith(".dla")
                for n in names)
     assert any(n.startswith("prediction-AGMIL-ACTF3") for n in names)
+
+
+@pytest.mark.slow
+def test_legacy_nan_guard_halts_without_checkpoint(synthetic_tree, tmp_path,
+                                                   monkeypatch):
+    """The legacy driver shares the divergence contract: non-finite loss
+    exits DIVERGED_EXIT without checkpointing the poisoned epoch."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu import (
+        train as train_pkg,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify_legacy,
+    )
+
+    real_make_fns = classify_legacy._make_fns
+
+    def poisoned_make_fns(cfg, extractor, args, compute_dtype):
+        grad_fn, eval_fn, apply_fn, tx = real_make_fns(
+            cfg, extractor, args, compute_dtype)
+
+        def bad_grad(params, tiles, mask, label, rng):
+            outs, grads = grad_fn(params, tiles, mask, label, rng)
+            outs = dict(outs)
+            outs["loss"] = jnp.float32(np.nan)  # diverged step
+            return outs, grads
+
+        return bad_grad, eval_fn, apply_fn, tx
+
+    monkeypatch.setattr(classify_legacy, "_make_fns", poisoned_make_fns)
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "legacy_nan"
+    out_root.mkdir()
+    rc = classify_legacy.main([
+        "--epoch_start", "0", "--epoch_end", "1", "--accum", "2",
+        "--resolution", "16", "--width_mult", "0.125", "--disc_cutoff", "2",
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32", "--seed", "3",
+    ])
+    assert rc == train_pkg.DIVERGED_EXIT
+    run = next(p for p in out_root.iterdir()
+               if p.name.startswith("run_attention_classifier"))
+    assert [f for f in os.listdir(run) if f.startswith("train_step-")] == []
 
 
 @pytest.mark.slow

@@ -73,8 +73,18 @@ def run_variant(tag: str, slides_dir: str, out_root: str, args,
     t0 = time.perf_counter()
     rc = serve.main(argv)
     wall = time.perf_counter() - t0
-    with open(os.path.join(out_root, "results.csv")) as f:
-        rows = [ln.split(",") for ln in f.read().splitlines()[1:] if ln]
+    csv_path = os.path.join(out_root, "results.csv")
+    rows = []
+    if os.path.exists(csv_path):
+        with open(csv_path) as f:
+            rows = [ln.split(",") for ln in f.read().splitlines()[1:] if ln]
+    if not rows:
+        # a failed variant still reports its rc instead of crashing the
+        # sweep (results.csv absent/empty when serve.main bails early)
+        res = {"variant": tag, "rc": rc, "n_slides": 0,
+               "error": "no results.csv rows"}
+        print(json.dumps(res), flush=True)
+        return res
     secs = [float(r[-1]) for r in rows]
     # Rows append in processing order; the first slide (or, batched, the
     # whole first group — its members share one amortized figure) rides
@@ -85,9 +95,13 @@ def run_variant(tag: str, slides_dir: str, out_root: str, args,
     res = {
         "variant": tag, "rc": rc, "n_slides": len(rows),
         "tiles_per_slide": args.tiles, "resolution": args.res,
+        # serve.py's secs column has 3 decimals, so a batched per-slide
+        # figure under 0.5 ms rounds to 0.000 — report null rather than
+        # divide by zero after the cohort already drained
         "cold_first_slide_secs": round(cold, 3),
         "warm_secs_per_slide": round(warm_med, 4),
-        "warm_slides_per_min": round(60.0 / warm_med, 2),
+        "warm_slides_per_min": (round(60.0 / warm_med, 2)
+                                if warm_med > 0 else None),
         "drain_wall_secs": round(wall, 2),
         "device": str(__import__("jax").devices()[0].platform),
     }

@@ -14,8 +14,9 @@ while true; do
   if grep -q '"healthy": true' "$OUT/health_poll.json"; then
     echo "[$ts] poll $i: HEALTHY — starting sweep" | tee -a "$OUT/watch.log"
     bash tools/tpu_r3_sweep.sh "$OUT" 2>&1 | tee -a "$OUT/watch.log"
-    echo "WATCH_DONE rc=$?" | tee -a "$OUT/watch.log"
-    exit 0
+    rc=${PIPESTATUS[0]}  # the sweep's status, not tee's
+    echo "WATCH_DONE rc=$rc" | tee -a "$OUT/watch.log"
+    exit "$rc"
   fi
   echo "[$ts] poll $i: unhealthy ($(cat "$OUT/health_poll.json" 2>/dev/null | tr -d '\n'))" >> "$OUT/watch.log"
   sleep 600
