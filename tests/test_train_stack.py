@@ -83,6 +83,40 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_crash_mid_save_is_atomic(tmp_path, monkeypatch):
+    """Crash-safety contract: a failure between the tmp write and the
+    rename leaves the previous checkpoint byte-identical, cleans up the
+    tmp file, and keeps --ckpt auto pointed at the last good epoch."""
+    path = str(tmp_path / "train_step-000.model")
+    checkpoint.save(path, {"w": np.arange(4, dtype=np.float32)})
+    with open(path, "rb") as f:
+        good = f.read()
+
+    def boom(src, dst):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(checkpoint.os, "replace", boom)
+    with pytest.raises(OSError):
+        checkpoint.save(path, {"w": np.zeros(4, np.float32)})
+    monkeypatch.undo()
+    with open(path, "rb") as f:
+        assert f.read() == good  # previous checkpoint untouched
+    assert [n for n in os.listdir(tmp_path) if ".tmp" in n] == []
+    assert checkpoint.latest_checkpoint(str(tmp_path)) == path
+
+
+def test_latest_checkpoint_ignores_tmp_litter(tmp_path):
+    """A kill AFTER the tmp write but BEFORE the rename leaves a .tmp
+    file; --ckpt auto must never resume from it."""
+    good = checkpoint.checkpoint_path(str(tmp_path), 3)
+    checkpoint.save(good, {"w": np.ones(2, np.float32)})
+    # litter mimicking a mid-save kill at a LATER epoch
+    with open(os.path.join(tmp_path, "train_step-009.model.123.tmp"),
+              "wb") as f:
+        f.write(b"partial")
+    assert checkpoint.latest_checkpoint(str(tmp_path)) == good
+
+
 def test_checkpoint_transfer_filters_conv_only(tmp_path):
     params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
     path = checkpoint.save(str(tmp_path / "ck.model"), params)
