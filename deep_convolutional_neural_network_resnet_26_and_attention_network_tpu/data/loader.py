@@ -66,6 +66,12 @@ def pad_bag(tiles, n_tiles: int | None = None, *, buckets=DEFAULT_BUCKETS,
     """Pad [T, ...] to its bucket; returns (padded, mask[T_b])."""
     t = tiles.shape[0]
     target = bucket_for(t, buckets, multiple_of) if n_tiles is None else n_tiles
+    if target < t:
+        # fail HERE: .at[:t] would silently clamp the mask to target while
+        # the tiles kept length t, and the mismatch only surfaces as a
+        # confusing stack/broadcast error deep inside the jitted forward
+        raise ValueError(
+            f"bag of {t} tiles cannot pad to n_tiles={target}")
     mask = jnp.zeros((target,), jnp.float32).at[:t].set(1.0)
     if target > t:
         pad = [(0, target - t)] + [(0, 0)] * (tiles.ndim - 1)
@@ -108,6 +114,7 @@ class BagPrefetcher:
         # host decode/augment/H2D time per bag on the producer thread(s)
         self.stats = {"bags": 0, "wait_s": 0.0, "produce_s": 0.0,
                       "consume_s": 0.0}
+        self._iter_t0 = None  # start of the in-progress iteration, if any
         # produce_s is incremented from N pool threads; += on a dict float
         # is a non-atomic read-modify-write, so guard it
         self._stats_lock = threading.Lock()
@@ -118,8 +125,15 @@ class BagPrefetcher:
     def stall_fraction(self) -> float:
         """Fraction of the consumer's wall time spent waiting for bags
         (>0.1 means the input pipeline is the bottleneck — raise `depth`
-        or `workers`, or move more of the transform on device)."""
+        or `workers`, or move more of the transform on device). Valid
+        mid-epoch too: the in-progress iteration's elapsed time counts
+        toward the denominator (consume_s alone is only updated at
+        iteration end, which would read 0.0 all through epoch 1 and >1.0
+        when polled later)."""
         total = self.stats["consume_s"]
+        t0 = self._iter_t0
+        if t0 is not None:
+            total += time.perf_counter() - t0
         return self.stats["wait_s"] / total if total > 0 else 0.0
 
     def _produce_one(self, idx: int):
@@ -145,12 +159,14 @@ class BagPrefetcher:
             source = (self._produce_one(idx) for idx in order)
 
         t_iter = time.perf_counter()
+        self._iter_t0 = t_iter
         try:
             for item in prefetch_iter(source, depth=self.depth,
                                       stats=self.stats):
                 self.stats["bags"] += 1
                 yield item
         finally:
+            self._iter_t0 = None
             self.stats["consume_s"] += time.perf_counter() - t_iter
 
 
@@ -208,6 +224,17 @@ def prefetch_iter(iterable, *, depth: int = 2, stats: dict | None = None):
                     return
         except Exception as e:  # surface producer errors to the consumer
             put(e)
+        finally:
+            # an early consumer exit abandons the source mid-iteration;
+            # close it HERE (on the producer thread the consumer joins)
+            # so a _parallel_items source shuts down its thread pool —
+            # pool.shutdown(wait=True) in its `with` — before control
+            # returns. Without this, up to `workers` pool threads keep
+            # reading the dataset (rng state, device allocations) after
+            # the join, re-enabling the race the join exists to prevent.
+            close = getattr(iterable, "close", None)
+            if close is not None:
+                close()
         put(stop)
 
     worker = threading.Thread(target=produce, daemon=True)

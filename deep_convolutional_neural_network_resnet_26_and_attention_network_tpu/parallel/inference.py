@@ -22,6 +22,39 @@ from . import steps
 # the whole graph for every slide. Key the compiled forwards by config.
 _FWD_CACHE: dict = {}
 
+# replicated-params cache: the serving loop calls the streaming/batched
+# paths once per slide/group with the SAME host param tree, and
+# re-transferring multi-MB params per call dominates small-slide
+# inference on low-H2D hosts (~0.5 s/slide at the tunnel's 13 MB/s).
+_REP_CACHE: dict = {}
+
+
+def _mesh_key(mesh):
+    """Stable mesh identity: id() can be recycled after GC (advisor r2)."""
+    return (tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _replicated_tree(tree, mesh):
+    """device_put ``tree`` fully replicated onto ``mesh``, once per
+    (tree, mesh) pair. The entry pins both the source tree (so its id
+    cannot be recycled onto a different tree) and the mesh. Bounded: a
+    validation loop hands a FRESH param tree every epoch, and pinning
+    each epoch's device replicas forever would leak HBM — keep the last
+    few entries only (callers must not mutate a tree in place; JAX
+    training always produces new pytrees, so ids change with content)."""
+    key = (id(tree), _mesh_key(mesh))
+    hit = _REP_CACHE.get(key)
+    if hit is None:
+        rep = M.replicated(mesh)
+        hit = (tree, mesh,
+               jax.tree_util.tree_map(lambda x: jax.device_put(x, rep),
+                                      tree))
+        _REP_CACHE[key] = hit
+        while len(_REP_CACHE) > 4:  # FIFO evict (dict keeps insert order)
+            _REP_CACHE.pop(next(iter(_REP_CACHE)))
+    return hit[2]
+
 
 def _cached_bag_forward(cfg, compute_dtype, use_pallas_pool):
     key = ("bag_fwd", cfg, str(compute_dtype), bool(use_pallas_pool))
@@ -46,8 +79,11 @@ def _cached_transform_extract(cfg, compute_dtype, resolution):
     if key not in _FWD_CACHE:
         def run(p, raw_u8):
             tiles = transforms.eval_transform(raw_u8, resolution=resolution)
+            # honor cfg.stem so the streaming extractor compiles the same
+            # lowering as the one-pass bag forward (apply_attention_mil)
             return resnet.apply_resnet26(
-                p, tiles, compute_dtype=compute_dtype).astype(jnp.float32)
+                p, tiles, compute_dtype=compute_dtype,
+                stem=cfg.stem).astype(jnp.float32)
 
         _FWD_CACHE[key] = jax.jit(run)
     return _FWD_CACHE[key]
@@ -80,6 +116,9 @@ def classify_slide(params, cfg: amil.MILConfig, builder, *,
     outs["Aterm"] = outs["Aterm"][:, :T]
     outs["wROIs"] = outs["wROIs"][:, :T]
     outs["Fterm"] = outs["Fterm"][:T]
+    outs["Bterm"] = outs["Bterm"][:T]  # [T, O] instance codes: pad rows
+    # hold the bias response to zero tiles — trim like the other
+    # per-tile keys so coords zip cleanly
     return np.asarray(outs["y_pred"]).ravel(), outs, coords
 
 
@@ -110,13 +149,14 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     # copies one slice at a time off the map
     raw, coords = builder._load_cache(with_coords=True, mmap=True)
     if raw.shape[0] == 0:
-        # same degenerate-slide zeros fallback as every other cache
-        # consumer — one tile-less slide must not sink a sweep
-        from ..data.roibuilder import EMPTY_BAG_TILES
-
-        rs = builder.params["roi_size"]
-        raw = np.zeros((EMPTY_BAG_TILES, rs, rs, 3), np.uint8)
-        coords = np.zeros((0, 2), np.int64)
+        # degenerate tile-less slide: route through the one-pass bag
+        # forward, whose fallback is the SAME post-transform f32 zero bag
+        # the validation path feeds (RoiBuilder._empty_bag). Feeding
+        # uint8 zeros through the fused eval transform here would
+        # normalize to -1.0 per pixel and disagree with validation on
+        # the identical slide.
+        return classify_slide(params, cfg, builder, resolution=resolution,
+                              compute_dtype=compute_dtype)
 
     # caller-supplied per-chunk program (e.g. the int8 serving path's
     # eval_transform -> apply_resnet26_int8, ops.quant) replaces the
@@ -146,8 +186,7 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
         # are trimmed after); round UP, matching bucket_for's semantics
         chunk = max(n_dev, ((chunk + n_dev - 1) // n_dev) * n_dev)
         part_sharding = M.tile_stream_sharding(mesh)
-        rep = M.replicated(mesh)
-        cnn = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), cnn)
+        cnn = _replicated_tree(cnn, mesh)
 
     feats = []
     for start in range(0, raw.shape[0], chunk):
@@ -234,9 +273,7 @@ def make_batched_infer(cfg: amil.MILConfig, mesh=None, *,
         return jitted
 
     def sharded(params, tiles, masks):
-        rep = M.replicated(mesh)
-        params = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), params)
+        params = _replicated_tree(params, mesh)
         tiles = jax.device_put(tiles, M.bag_batch_sharding(mesh))
         masks = jax.device_put(masks, M.mask_sharding(mesh))
         with mesh:

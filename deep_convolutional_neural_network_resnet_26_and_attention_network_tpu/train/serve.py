@@ -282,7 +282,9 @@ class SlideServer:
         bags, rasters = [], []
         for b in builders:
             raw, coords = b._load_cache(with_coords=True, mmap=True)
-            if raw.shape[0] == 0:  # same zeros fallback as streaming
+            if raw.shape[0] == 0:  # unreachable: the batch router sends
+                # tile-less slides to the serial path; belt vs a cache
+                # emptied between routing and here
                 rs = b.params["roi_size"]
                 raw = np.zeros((EMPTY_BAG_TILES, rs, rs, 3), np.uint8)
                 coords = np.zeros((0, 2), np.int64)
@@ -408,7 +410,12 @@ class SlideServer:
                         failed += 1
                         self._note_failure(name)
                         continue
-                    if 0 <= builder.getsize() <= self.args.batch_tile_cap:
+                    # strictly positive: tile-less slides go through the
+                    # serial path, whose empty fallback matches the
+                    # validation forward exactly (f32 zero bag) — the
+                    # batched program's fused transform would normalize
+                    # a uint8 zero bag to -1.0 and disagree
+                    if 0 < builder.getsize() <= self.args.batch_tile_cap:
                         builder.update_resolution_and_buffer(
                             self.args.resolution)
                         group.append(builder)

@@ -309,6 +309,10 @@ def test_pad_bag_and_buckets():
     # multiple_of for tile-axis sharding
     padded8, mask8 = loader.pad_bag(jnp.ones((33, 2)), multiple_of=8)
     assert padded8.shape[0] % 8 == 0 and float(mask8.sum()) == 33
+    # an explicit target below the bag size must fail at the boundary,
+    # not as a shape error deep inside the jitted forward
+    with pytest.raises(ValueError, match="cannot pad"):
+        loader.pad_bag(jnp.ones((33, 2)), n_tiles=32)
 
 
 class _ToyDataset:
@@ -451,12 +455,46 @@ def test_prefetcher_stall_instrumentation():
             return np.ones((3, 4, 4, 3), np.float32), i % 3
 
     pf = BagPrefetcher(Slow(), buckets=(4,))
+    mid = []
     for _ in pf:
-        pass
+        # mid-epoch reads must be live (consume_s alone only updates at
+        # iteration end — a naive implementation reads 0.0 all epoch 1)
+        mid.append(pf.stall_fraction())
     assert pf.stats["bags"] == 4
     assert pf.stats["produce_s"] > 0
     assert 0.0 <= pf.stall_fraction() <= 1.0
     assert pf.stats["wait_s"] > 0  # nothing overlaps a 0-work consumer
+    assert mid[-1] > 0.0 and all(0.0 <= f <= 1.0 for f in mid)
+
+
+def test_prefetcher_early_break_stops_parallel_producers():
+    """Breaking out of a workers>1 iteration must join the pool threads
+    before control returns: no dataset reads may land afterwards (they
+    would race the next epoch's rng, breaking bit-exact resume)."""
+    import time as _time
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.loader import (
+        BagPrefetcher,
+    )
+
+    reads = []
+
+    class Counting:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            reads.append(i)
+            _time.sleep(0.01)
+            return np.ones((3, 4, 4, 3), np.float32), 0
+
+    pf = BagPrefetcher(Counting(), shuffle=True, workers=4, seed=0,
+                       buckets=(4,))
+    for _ in pf:
+        break  # early exit mid-epoch
+    n_at_return = len(reads)
+    _time.sleep(0.3)
+    assert len(reads) == n_at_return  # nothing read after the join
 
 
 def test_eval_tile_cache_roundtrip(tmp_path, monkeypatch):

@@ -109,6 +109,35 @@ def test_classify_slide_full_pipeline(tmp_path, monkeypatch):
     assert outs["Aterm"].shape[1] == len(coords) == builder.getsize()
 
 
+def test_streaming_empty_slide_matches_onepass(tmp_path, monkeypatch):
+    """A tile-less slide must classify IDENTICALLY on the streaming and
+    one-pass paths: both feed the post-transform f32 zero bag
+    (RoiBuilder._empty_bag). Streaming previously pushed uint8 zeros
+    through the fused eval transform (-1.0 per pixel) and disagreed with
+    validation on the same slide."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        roibuilder,
+    )
+
+    monkeypatch.setenv("CACHE_DIR", str(tmp_path))
+    (tmp_path / "empty_H&E.npy").write_bytes(b"fake")
+    np.save(tmp_path / "data_empty_H&E_rois_size64_hsvcut_v3.npy",
+            np.zeros((0, 64, 64, 3), np.uint8))
+    np.save(tmp_path / "coor_empty_H&E_rois_size64_hsvcut_v3.npy",
+            np.zeros((0, 2), np.int64))
+    builder = roibuilder.RoiBuilder(str(tmp_path / "empty_H&E.npy"),
+                                    {"roi_size": 64})
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    p_stream, outs_s, coords_s = inference.classify_slide_streaming(
+        params, TINY, builder, resolution=32, chunk=8, compute_dtype=None)
+    p_once, outs_o, coords_o = inference.classify_slide(
+        params, TINY, builder, resolution=32, compute_dtype=None,
+        use_pallas_pool=False)
+    assert coords_s.shape[0] == coords_o.shape[0] == 0
+    np.testing.assert_array_equal(p_stream, p_once)  # same program now
+    assert int(outs_s["y_pred_hat"]) == int(outs_o["y_pred_hat"])
+
+
 def test_classify_slide_streaming_matches_onepass(tmp_path, monkeypatch):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
         roibuilder,
