@@ -49,14 +49,8 @@ def checkpoint_path(output_dir: str, epoch: int, final: bool = False) -> str:
     return os.path.join(output_dir, f"train_step-{epoch:03d}{suffix}.model")
 
 
-def save(path: str, params, opt_state=None, extra: dict | None = None):
-    """Persist params (+ optimizer state) as one .model file."""
-    blob = {f"classifier/{k}": v for k, v in _flatten(params).items()}
-    if opt_state is not None:
-        blob.update({f"optimizer/{k}": v
-                     for k, v in _flatten(opt_state).items()})
-    for k, v in (extra or {}).items():
-        blob[f"extra/{k}"] = np.asarray(v)
+def save_blob(path: str, blob: dict):
+    """Atomically persist an already-flattened checkpoint blob."""
     buf = io.BytesIO()
     np.savez(buf, **blob)
     # tmp + os.replace: a kill mid-write must never leave a truncated
@@ -71,6 +65,17 @@ def save(path: str, params, opt_state=None, extra: dict | None = None):
             os.unlink(tmp)
         raise
     return path
+
+
+def save(path: str, params, opt_state=None, extra: dict | None = None):
+    """Persist params (+ optimizer state) as one .model file."""
+    blob = {f"classifier/{k}": v for k, v in _flatten(params).items()}
+    if opt_state is not None:
+        blob.update({f"optimizer/{k}": v
+                     for k, v in _flatten(opt_state).items()})
+    for k, v in (extra or {}).items():
+        blob[f"extra/{k}"] = np.asarray(v)
+    return save_blob(path, blob)
 
 
 def load_raw(path: str) -> dict:
