@@ -130,3 +130,111 @@ def test_import_rejects_garbage(tmp_path):
     torch.save({"classifier": {"totally.unknown": torch.ones(2)}}, src)
     with pytest.raises(ValueError, match="no recognizable"):
         interop.import_checkpoint(str(src), str(tmp_path / "out.model"))
+
+
+# ---------------------------------------------------------------- StyleGAN
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (  # noqa: E402
+    stylegan,
+)
+from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (  # noqa: E402
+    gan,
+)
+
+WM = 1 / 64  # tiny widths (512 -> 8ch), full 9-block reference layout
+
+
+def _tiny_gan(seed):
+    pg = stylegan.init_styled_generator(jax.random.PRNGKey(seed),
+                                        width_mult=WM)
+    pd = stylegan.init_discriminator(jax.random.PRNGKey(seed + 1),
+                                     width_mult=WM)
+    return pg, pd
+
+
+def test_gan_export_key_names_match_reference_contract(tmp_path):
+    pg, pd = _tiny_gan(10)
+    ours = tmp_path / "gan.model"
+    gan.save_gan_checkpoint(str(ours), pg, pd, {}, {}, pg)
+    back = tmp_path / "ref_gan.model"
+    counts = interop.export_gan_checkpoint(str(ours), str(back))
+    assert set(counts) == {"generator", "g_running", "discriminator"}
+
+    ckpt = torch.load(back, map_location="cpu", weights_only=True)
+    g, d = ckpt["generator"], ckpt["discriminator"]
+    # style MLP sits at odd Sequential indices after PixelNorm
+    assert "style.1.linear.weight_orig" in g
+    assert "style.15.linear.weight_orig" in g
+    # block 0 is the ConstantInput; blocks 1-4 plain upsample (EqualConv2d
+    # at Sequential index 1, blur at 2); blocks 5-8 fused (weights at
+    # index 0, blur at 1)  (reference model.py:383-391)
+    assert g["generator.progression.0.conv1.input"].shape == (1, 8, 4, 4)
+    assert "generator.progression.1.conv1.1.conv.weight_orig" in g
+    assert "generator.progression.1.conv1.2.weight" in g  # blur buffer
+    assert "generator.progression.5.conv1.0.weight" in g  # FusedUpsample
+    assert "generator.progression.5.conv1.1.weight_flip" in g
+    assert g["generator.progression.8.noise2.weight_orig"].ndim == 4
+    # discriminator: fused blocks 0-3, plain final block 8
+    # (reference model.py:515-523); from_rgb_activate keys
+    assert "progression.0.conv2.1.weight" in d  # FusedDownsample
+    assert "progression.4.conv2.1.conv.weight_orig" in d
+    assert "progression.8.conv2.0.conv.weight_orig" in d
+    assert "from_rgb.0.0.conv.weight_orig" in d
+    assert "linear.linear.weight_orig" in d
+    # blur buffers are the normalized binomial kernel, flip == original
+    np.testing.assert_allclose(
+        d["progression.0.conv2.0.weight"].numpy().sum(axis=(2, 3)),
+        np.ones((d["progression.0.conv2.0.weight"].shape[0], 1)), atol=1e-6)
+    np.testing.assert_array_equal(d["progression.0.conv2.0.weight"].numpy(),
+                                  d["progression.0.conv2.0.weight_flip"].numpy())
+
+
+def test_gan_round_trip_through_torch_file_is_bit_exact(tmp_path):
+    pg, pd = _tiny_gan(20)
+    ours = tmp_path / "gan.model"
+    gan.save_gan_checkpoint(str(ours), pg, pd, {}, {}, pg)
+    back = tmp_path / "ref_gan.model"
+    interop.export_gan_checkpoint(str(ours), str(back))
+
+    imported_npz = tmp_path / "imported.model"
+    imported, skipped = interop.import_gan_checkpoint(str(back),
+                                                      str(imported_npz))
+    assert skipped == []  # blur buffers are known-skips, not reported
+
+    fg, fd = _tiny_gan(30)  # different seeds: every leaf must be overlaid
+    with np.load(imported_npz, allow_pickle=False) as z:
+        blob = {k: z[k] for k in z.files}
+    rg, lg, tg = gan.restore_section(fg, blob, "generator")
+    rr, lr, tr = gan.restore_section(fg, blob, "g_running")
+    rd, ld, td = gan.restore_section(fd, blob, "discriminator")
+    assert (lg, lr, ld) == (tg, tr, td)
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train.checkpoint import (
+        _flatten,
+    )
+    for orig, rest in ((pg, rg), (pg, rr), (pd, rd)):
+        fo, fr = _flatten(orig), _flatten(rest)
+        assert set(fo) == set(fr)
+        for k in fo:
+            np.testing.assert_array_equal(fo[k], fr[k], err_msg=k)
+
+
+def test_gan_bare_g_running_snapshot_imports_to_both_sections(tmp_path):
+    pg, pd = _tiny_gan(40)
+    ours = tmp_path / "gan.model"
+    gan.save_gan_checkpoint(str(ours), pg, pd, {}, {}, pg)
+    back = tmp_path / "ref_gan.model"
+    interop.export_gan_checkpoint(str(ours), str(back))
+    # rebuild the reference's bare snapshot form: just g_running's sd
+    # (reference train.py:195-196)
+    sd = torch.load(back, map_location="cpu", weights_only=True)["g_running"]
+    bare = tmp_path / "012000.model"
+    torch.save(sd, bare)
+
+    dest = tmp_path / "imported.model"
+    interop.main(["import-gan", str(bare), str(dest)])
+    with np.load(dest, allow_pickle=False) as z:
+        sections = {k.split("/", 1)[0] for k in z.files}
+        mask = z["g_running/generator/progression/0/constant"]
+    assert {"g_running", "generator"} <= sections
+    np.testing.assert_array_equal(
+        mask, np.asarray(pg["generator"]["progression"][0]["constant"]))
