@@ -346,6 +346,51 @@ def test_classify_cli_end_to_end(synthetic_tree, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_imported_torch_checkpoint_drives_test_only(synthetic_tree, tmp_path,
+                                                    monkeypatch):
+    """The migration chain end-to-end: a reference-format torch pickle
+    (gbm/classify_combined.py:468-474) -> torch_interop import -> the
+    live driver's --test_only validates with it and emits the full
+    artifact set."""
+    import torch
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.utils import (
+        torch_interop as interop,
+    )
+
+    _patch_roi32(monkeypatch)
+    cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
+    params = amil.init_attention_mil(jax.random.PRNGKey(11), cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in interop.export_state_dict(params).items()}
+    ref_ckpt = tmp_path / "train_step-033_FINAL.model"
+    torch.save({"classifier": sd, "optimizer": {"state": {}}}, ref_ckpt)
+
+    imported = tmp_path / "imported.model"
+    interop.main(["import", str(ref_ckpt), str(imported)])
+
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    rc = classify.main([
+        "--tag", "IMP", "--arch", "tiny", "--resolution", "16",
+        "--test_only", "--ckpt", str(imported),
+        "--data_root", str(synthetic_tree), "--image_dir", "slides",
+        "--label_sheet", str(synthetic_tree / "clusters.csv"),
+        "--output_root", str(out_root), "--f32",
+    ])
+    assert rc == 0
+    run = out_root / "run_IMP"
+    summaries = [f for f in os.listdir(run) if f.endswith("summary.json")]
+    assert summaries
+    with open(run / summaries[0]) as f:
+        stats = json.load(f)
+    assert "valid_acc" in stats and "valid_loss" in stats
+
+
+@pytest.mark.slow
 def test_classify_cli_interface_mode(synthetic_tree, tmp_path, monkeypatch):
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
         classify,

@@ -187,10 +187,29 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--width", type=float, default=1.0)
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16", "ab"],
                     help="compute dtype for d_step/g_step (the full-step "
-                    "rows only; the standalone fwd/grad rows stay f32)")
+                    "rows only; the standalone fwd/grad rows stay f32). "
+                    "'ab' interleaves f32 and bf16 full steps in ONE "
+                    "process so the tunnel's cross-process drift cancels")
     args = ap.parse_args()
+
+    if args.dtype == "ab":
+        fns = {}
+        for tag, cdt in (("f32", None), ("bf16", jnp.bfloat16)):
+            built = build_timed(args.res, args.batch, args.width,
+                                compute_dtype=cdt)
+            for n in ("d_step_full", "g_step_full"):
+                fns[f"{n}_{tag}"] = built["fns"][n]
+        times = time_fns(fns, args.res, args.batch, args.rounds)
+        print(f"\n== interleaved f32 vs bf16 (res {args.res}, batch "
+              f"{args.batch}, width x{args.width}, {args.rounds} rounds) ==")
+        for n, ms in times.items():
+            print(f"{n:18s} {ms:8.1f} ms")
+        for n in ("d_step_full", "g_step_full"):
+            print(f"{n}: bf16/f32 = "
+                  f"{times[f'{n}_bf16'] / times[f'{n}_f32']:.3f}x")
+        return
 
     cdt = {"f32": None, "bf16": jnp.bfloat16}[args.dtype]
     built = build_timed(args.res, args.batch, args.width, compute_dtype=cdt)
