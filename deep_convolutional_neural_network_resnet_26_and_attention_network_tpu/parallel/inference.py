@@ -90,10 +90,23 @@ def _cached_transform_extract(cfg, compute_dtype, resolution):
 
 
 def _cached_pool(cfg):
+    """Masked pool over a BUCKETED [Tb, L] feature matrix.
+
+    The tile count ``n`` is a traced scalar, so one compiled program
+    serves every slide in a bucket — without this, a heterogeneous
+    serving cohort pays a fresh pool compile (multi-second on remote
+    devices) per distinct slide size. Mask-exact: padded rows are
+    excluded from the context batch-norm statistics and zeroed before
+    the L1 attention normalization (the same padded-bag path the
+    one-pass forward uses).
+    """
     key = ("pool", cfg)
     if key not in _FWD_CACHE:
-        _FWD_CACHE[key] = jax.jit(
-            lambda p, h: amil.attention_pool(p, h, cfg, train=False))
+        def run(p, h, n):
+            mask = (jnp.arange(h.shape[0]) < n).astype(jnp.float32)
+            return amil.attention_pool(p, h, cfg, mask=mask, train=False)
+
+        _FWD_CACHE[key] = jax.jit(run)
     return _FWD_CACHE[key]
 
 
@@ -208,11 +221,24 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
         H = jax.device_get(H)
         H = jnp.asarray(H)
 
+    # bucket the pool input (ladder below 2560, 1024-granules above) and
+    # mask the pad: one compiled pool program per bucket, not per
+    # distinct slide size — see _cached_pool
+    T = H.shape[0]
+    from ..data.loader import bucket_for
+    Tb = bucket_for(T)
+    if Tb > T:
+        H = jnp.pad(H, ((0, Tb - T), (0, 0)))
     pool = _cached_pool(cfg)
-    pooled = pool(params, H)
+    pooled = pool(params, H, jnp.int32(T))
+    # restore the exact-T output contract (consumers index Aterm/Fterm
+    # by raster rows; streaming_eval_outputs averages Fterm)
+    pooled = {**pooled, "Aterm": pooled["Aterm"][:, :T],
+              "wROIs": pooled["wROIs"][:, :T],
+              "Bterm": pooled["Bterm"][:T]}
     probs = jax.nn.softmax(pooled["logits"], axis=1)
     outs = {**pooled, "y_pred": probs,
-            "y_pred_hat": jnp.argmax(probs), "Fterm": H}
+            "y_pred_hat": jnp.argmax(probs), "Fterm": H[:T]}
     return np.asarray(probs).ravel(), outs, coords
 
 

@@ -98,6 +98,16 @@ def build_argparser():
     p.add_argument("--settle_secs", default=2.0, type=float,
                    help="skip files modified more recently than this "
                         "(mid-copy uploads)")
+    p.add_argument("--prewarm", default=0, type=int, metavar="TILES",
+                   help="compile the streaming extractor and pool for "
+                        "every ladder bucket up to TILES tiles BEFORE "
+                        "watching, so the first slide of each size class "
+                        "pays compute, not compile (each bucket is a "
+                        "separate program — budget ~1-2 min per bucket "
+                        "at full width on a fresh TPU host; restarts hit "
+                        "the persistent cache). Shapes follow "
+                        "--roi_size/--resolution; the --int8 programs "
+                        "still compile after first-slide calibration")
     p.add_argument("--once", action="store_true",
                    help="process the current backlog, then exit")
     p.add_argument("--seed", default=0, type=int)
@@ -443,7 +453,56 @@ class SlideServer:
         flush()  # tail group below the batch size
         return done, failed
 
+    def prewarm(self):
+        """Compile the bucket-ladder programs up-front (--prewarm)."""
+        tiles = self.args.prewarm
+        if not tiles:
+            return
+        import jax
+
+        from ..data.loader import DEFAULT_BUCKETS, bucket_for
+        from ..data.roibuilder import ROI_SIZE
+
+        roi = self.args.roi_size or ROI_SIZE
+        n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        t0 = time.perf_counter()
+
+        # streaming extractor: one program per chunk bucket it can see
+        # (clamped by --chunk, rounded to the mesh multiple — the same
+        # shapes classify_slide_streaming mints)
+        extract = inference._cached_transform_extract(
+            self.cfg, self.compute_dtype, self.args.resolution)
+        cnn = self.params["cnn"]
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel import mesh as M
+
+            cnn = inference._replicated_tree(cnn, self.mesh)
+            sharding = M.tile_stream_sharding(self.mesh)
+        chunk_buckets = sorted(
+            {bucket_for(b, multiple_of=n_dev)
+             for b in DEFAULT_BUCKETS
+             if b <= min(tiles, self.args.chunk)} or
+            {bucket_for(min(tiles, self.args.chunk), multiple_of=n_dev)})
+        for b in chunk_buckets:
+            part = np.zeros((b, roi, roi, 3), np.uint8)
+            part = (jax.device_put(part, sharding) if sharding is not None
+                    else jnp.asarray(part))
+            jax.block_until_ready(extract(cnn, part))
+            print(f"serve: prewarmed extractor chunk={b}", flush=True)
+
+        # masked pool: one program per slide-size bucket
+        pool = inference._cached_pool(self.cfg)
+        for b in sorted({bucket_for(t) for t in (*DEFAULT_BUCKETS, tiles)
+                         if bucket_for(t) <= bucket_for(tiles)}):
+            jax.block_until_ready(
+                pool(self.params, jnp.zeros((b, self.cfg.L)), jnp.int32(b)))
+        print(f"serve: prewarm done ({len(chunk_buckets)} extractor + "
+              f"pool programs, {time.perf_counter() - t0:.1f}s)",
+              flush=True)
+
     def run(self) -> int:
+        self.prewarm()
         n_total, n_failed = 0, 0
         while True:
             done, failed = self._drain(self.pending())

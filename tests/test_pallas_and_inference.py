@@ -165,6 +165,51 @@ def test_classify_slide_streaming_matches_onepass(tmp_path, monkeypatch):
                                np.asarray(outs_o["Aterm"]), atol=1e-5)
 
 
+def test_streaming_pool_compiles_once_per_bucket():
+    """The streaming pool takes the tile count as a TRACED scalar over a
+    bucketed feature matrix, so a heterogeneous serving cohort reuses one
+    compiled program per bucket instead of compiling per slide size."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data.loader import (
+        bucket_for,
+    )
+
+    cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1),
+                         L=24, D=8)  # unique cfg -> fresh _FWD_CACHE entry
+    params = amil.init_attention_mil(jax.random.PRNGKey(1), cfg)
+    pool = inference._cached_pool(cfg)
+    for t in (5, 20, 31):  # all land on the 32 bucket
+        tb = bucket_for(t)
+        pool(params, jnp.zeros((tb, cfg.L)), jnp.int32(t))
+    assert pool._cache_size() == 1
+    pool(params, jnp.zeros((64, cfg.L)), jnp.int32(40))  # next bucket
+    assert pool._cache_size() == 2
+
+
+def test_bucketed_masked_pool_matches_exact_pool():
+    """Zero-padding + mask must reproduce the exact-size pool bit-for-bit
+    (to float tolerance): padded rows are excluded from the context
+    batch-norm stats and zeroed before the L1 normalization."""
+    cfg = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1),
+                         L=16, D=8)
+    params = amil.init_attention_mil(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(5)
+    t, tb = 20, 32
+    h = jnp.asarray(rng.standard_normal((t, cfg.L)), jnp.float32)
+
+    exact = amil.attention_pool(params, h, cfg, train=False)
+    pool = inference._cached_pool(cfg)
+    padded = pool(params, jnp.pad(h, ((0, tb - t), (0, 0))), jnp.int32(t))
+
+    np.testing.assert_allclose(np.asarray(padded["logits"]),
+                               np.asarray(exact["logits"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(padded["Aterm"])[:, :t],
+                               np.asarray(exact["Aterm"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(padded["Aterm_var"]),
+                               np.asarray(exact["Aterm_var"]), atol=1e-5)
+    # padded attention columns are exactly zero (mask ran before L1)
+    assert np.all(np.asarray(padded["Aterm"])[:, t:] == 0.0)
+
+
 def test_pallas_pool_gradients_match_unfused():
     """The custom VJP of the fused kernel must match autodiff through the
     unfused chain for every differentiable input (training path)."""

@@ -94,6 +94,21 @@ def test_serve_watch_dir_idempotent_and_incremental(slide_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_prewarm_compiles_ladder_before_first_slide(slide_tree,
+                                                         tmp_path, capsys):
+    tree, _ = slide_tree
+    out = str(tmp_path / "serve_out")
+    argv = (["--watch_dir", str(tree / "slides"), "--out_root", out,
+             "--prewarm", "64"] + COMMON)
+    assert _run(argv) == 0
+    captured = capsys.readouterr().out
+    assert "prewarm done" in captured
+    # prewarm happens before any slide output
+    assert captured.index("prewarm done") < captured.index("probs=")
+    assert len(_rows(out)) == 3
+
+
+@pytest.mark.slow
 def test_serve_reconciles_missing_marker(slide_tree, tmp_path):
     """Crash between the results.csv append and the processed.txt marker:
     restart must adopt the row (all artifacts were written first) instead
