@@ -280,7 +280,7 @@ class MultiResolutionStore:
 BCSingleBagDatasetSimple = ImageFolderDataset
 
 
-def _main():
+def _main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(
@@ -294,7 +294,7 @@ def _main():
                          "unless --init_size is raised to match")
     ap.add_argument("--max-items", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     res = []
     r = args.min_size
     while r <= args.max_size:

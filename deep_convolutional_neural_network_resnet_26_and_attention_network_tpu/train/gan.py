@@ -383,12 +383,16 @@ def train_gan(args):
     else:
         dataset = ImageFolderDataset(args.data_dir, seed=args.seed)
     max_step = int(math.log2(args.max_size)) - 2
+    # progression STARTS at --init_size like the reference (its train loop
+    # seeds step from init_size, train.py:61-66); previously init_size
+    # only gated the alpha exception and epoch 0 always trained at 4px
+    init_step = min(max(int(math.log2(args.init_size)) - 2, 0), max_step)
     n_blocks = len(sg._gen_layout(width))
 
     step_fns = {}
     for epoch in range(args.epoch_start, args.epochs):
-        step = min(epoch // args.step_every, max_step)
-        final_progress = (epoch // args.step_every) >= max_step
+        step = min(init_step + epoch // args.step_every, max_step)
+        final_progress = (init_step + epoch // args.step_every) >= max_step
         resolution = 4 * 2 ** step
         batch = args.batch_override or STEP_BATCH_SIZE.get(resolution, 32)
         lr = lr_sched.get(resolution, args.lr)

@@ -1,0 +1,196 @@
+"""StyleGAN WGAN-GP convergence run: the trainer LEARNS, not merely steps.
+
+The classifier already has a full-width convergence proof
+(tools/convergence_run.py); this is the GAN counterpart. The reference
+repo's GAN evidence is its committed utilization profile plus sample
+images from the private histology cohort — hermetic stand-in here:
+**two-band palette images** (top half one palette color, bottom half its
+partner, heavy pixel noise). A working generator must discover (a) the
+vertical band structure and (b) the palette's channel statistics; a
+broken one emits band contrast ~0 (gray noise has no top/bottom split).
+
+Metric: "band stats" — the aggregate (top-half mean RGB, bottom-half
+mean RGB) of CLIPPED [-1,1] samples, a 6-vector summarizing the band
+structure the data carries. Pass criteria:
+  * trainer exits 0 (the non-finite-loss guard would exit 3 on NaN)
+  * mean-abs distance from the generator's band stats to the real
+    data's is BOTH < 0.15 (absolute, [-1,1] units) and < 50% of the
+    untrained generator's distance (clear movement toward the data —
+    an untrained equal-lr generator emits large structured values, so
+    raw band contrast alone is trivially nonzero at init)
+
+Run (TPU, ~5-10 min incl. compile):
+    python tools/gan_convergence_run.py
+    python tools/gan_convergence_run.py --tiny --epochs 2   # CPU smoke
+Numbers land in PROFILE.md ("GAN convergence run").
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PALETTE = [  # (top RGB, bottom RGB) pairs the generator must learn
+    ((200, 40, 40), (40, 40, 200)),
+    ((40, 180, 40), (180, 40, 180)),
+    ((220, 200, 40), (40, 180, 200)),
+    ((240, 140, 40), (60, 60, 60)),
+]
+
+
+def make_dataset(img_dir: str, n: int, size: int, seed: int = 0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(img_dir, exist_ok=True)
+    for i in range(n):
+        top, bottom = PALETTE[rng.integers(len(PALETTE))]
+        img = np.empty((size, size, 3), np.float32)
+        img[: size // 2] = top
+        img[size // 2:] = bottom
+        img += rng.normal(0.0, 20.0, img.shape)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(img_dir, f"im{i:05d}.png"))
+
+
+def band_stats(imgs) -> np.ndarray:
+    """imgs: [N, H, W, 3]. Clip to [-1, 1] (what save_image_grid renders),
+    then return the aggregate [top RGB mean, bottom RGB mean] 6-vector."""
+    imgs = np.clip(np.asarray(imgs, np.float32), -1.0, 1.0)
+    h = imgs.shape[1]
+    top = imgs[:, : h // 2].mean(axis=(0, 1, 2))
+    bot = imgs[:, h // 2:].mean(axis=(0, 1, 2))
+    return np.concatenate([top, bot])
+
+
+def band_contrast(imgs) -> float:
+    """Mean abs top-vs-bottom channel gap of clipped images (reported
+    for context alongside the band-stats distance)."""
+    imgs = np.clip(np.asarray(imgs, np.float32), -1.0, 1.0)
+    h = imgs.shape[1]
+    top = imgs[:, : h // 2].mean(axis=(1, 2))
+    bot = imgs[:, h // 2:].mean(axis=(1, 2))
+    return float(np.abs(top - bot).mean())
+
+
+def generate(params, n, step, code_size, width, seed):
+    import jax
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (  # noqa: E501
+        stylegan as sg,
+    )
+
+    k_z, k_n = jax.random.split(jax.random.PRNGKey(seed))
+    zs = jax.random.normal(k_z, (1, n, code_size))
+    noise = sg.make_noise(k_n, n, step)
+    imgs = sg.apply_styled_generator(params, zs, noise, step=step,
+                                     alpha=1.0, width_mult=width)
+    return np.asarray(imgs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=8)
+    ap.add_argument("--n_images", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--width", type=float, default=1.0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="width_mult 1/16 (CPU smoke)")
+    ap.add_argument("--keep", default=None,
+                    help="keep run artifacts in this dir (default: tmp)")
+    args = ap.parse_args()
+    width = (1 / 16) if args.tiny else args.width
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (  # noqa: E501
+        gan_dataset,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (  # noqa: E501
+        gan,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.models import (  # noqa: E501
+        stylegan as sg,
+    )
+    import jax
+
+    workdir = args.keep or tempfile.mkdtemp(prefix="gan_conv_")
+    img_dir = os.path.join(workdir, "imgs")
+    store = os.path.join(workdir, "store")
+    out = os.path.join(workdir, "run")
+    step = int(np.log2(args.res)) - 2
+
+    print(f"# workdir {workdir}")
+    make_dataset(img_dir, args.n_images, 4 * args.res)
+    gan_dataset._main(["--src", img_dir, "--out", store,
+                       "--max-size", str(args.res), "--seed", "0"])
+
+    # real-data contrast from the store's images at the training res
+    from PIL import Image
+
+    real = np.stack([
+        np.asarray(Image.open(p).resize((args.res, args.res)),
+                   np.float32) / 127.5 - 1.0
+        for p in sorted(glob.glob(os.path.join(img_dir, "*.png")))[:512]])
+    s_real = band_stats(real)
+    c_real = band_contrast(real)
+
+    # untrained baseline (same arch/width, different seed than training)
+    g0 = sg.init_styled_generator(jax.random.PRNGKey(99), width_mult=width)
+    init_imgs = generate(g0, 256, step, 512, width, seed=7)
+    d_init = float(np.abs(band_stats(init_imgs) - s_real).mean())
+    c_init = band_contrast(init_imgs)
+
+    t0 = time.time()
+    rc = gan.main(["--data_dir", store, "--output_dir", out,
+                   "--init_size", str(args.res), "--max_size", str(args.res),
+                   "--phase", str(max(args.n_images * 2, 4000)),
+                   "--epochs", str(args.epochs),
+                   "--batch_override", str(args.batch),
+                   "--width_mult", str(width), "--seed", "1"])
+    wall = time.time() - t0
+    if rc not in (0, None):
+        print(json.dumps({"converged": False, "reason": f"trainer rc={rc}"}))
+        return 1
+
+    ckpts = glob.glob(os.path.join(out, "checkpoint", "train_step-*.model"))
+    last = max(ckpts, key=lambda p: int(re.search(r"-(\d+)\.model$", p)
+                                        .group(1)))
+    with np.load(last, allow_pickle=False) as z:
+        blob = {k: z[k] for k in z.files}
+    template = sg.init_styled_generator(jax.random.PRNGKey(0),
+                                        width_mult=width)
+    dist, contrast = {}, {}
+    for section in ("generator", "g_running"):
+        tree, loaded, total = gan.restore_section(template, blob, section)
+        assert loaded == total, (section, loaded, total)
+        imgs = generate(tree, 256, step, 512, width, seed=7)
+        dist[section] = float(np.abs(band_stats(imgs) - s_real).mean())
+        contrast[section] = band_contrast(imgs)
+
+    d_gen = dist["generator"]
+    converged = bool(d_gen < 0.15 and d_gen < 0.5 * d_init)
+    print(json.dumps({
+        "converged": converged, "res": args.res, "width_mult": width,
+        "epochs": args.epochs, "samples": args.n_images * args.epochs,
+        "band_dist_init": round(d_init, 4),
+        "band_dist_generator": round(d_gen, 4),
+        "band_dist_g_running": round(dist["g_running"], 4),
+        "band_contrast_real": round(c_real, 4),
+        "band_contrast_init": round(c_init, 4),
+        "band_contrast_generator": round(contrast["generator"], 4),
+        "train_wall_secs": round(wall, 1), "ckpt": last,
+    }))
+    return 0 if converged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
