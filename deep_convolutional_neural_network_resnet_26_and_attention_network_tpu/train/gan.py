@@ -352,9 +352,12 @@ def train_gan(args):
         # by e.g. 8, and discovering that only when training reaches
         # 512px would kill a multi-day run mid-flight
         _max_step = int(math.log2(args.max_size)) - 2
+        _init_step = min(max(int(math.log2(args.init_size)) - 2, 0),
+                         _max_step)  # same offset as the training loop
         _sched = ({args.batch_override} if args.batch_override else {
             STEP_BATCH_SIZE.get(
-                4 * 2 ** min(e // args.step_every, _max_step), 32)
+                4 * 2 ** min(_init_step + e // args.step_every, _max_step),
+                32)
             for e in range(args.epoch_start, args.epochs)})
         _bad = sorted(b for b in _sched if b % args.mesh)
         if _bad:

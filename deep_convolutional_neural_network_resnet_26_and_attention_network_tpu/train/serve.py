@@ -467,39 +467,57 @@ class SlideServer:
         n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
         t0 = time.perf_counter()
 
-        # streaming extractor: one program per chunk bucket it can see
-        # (clamped by --chunk, rounded to the mesh multiple — the same
-        # shapes classify_slide_streaming mints)
-        extract = inference._cached_transform_extract(
-            self.cfg, self.compute_dtype, self.args.resolution)
-        cnn = self.params["cnn"]
-        sharding = None
-        if self.mesh is not None:
-            from ..parallel import mesh as M
+        # streaming extractor: one program per chunk shape the streaming
+        # loop can mint — ladder buckets below --chunk (small slides
+        # clamp to their bucket) PLUS the effective --chunk itself (the
+        # workhorse shape for every slide bigger than it, mesh-rounded
+        # exactly like classify_slide_streaming). Skipped under --int8:
+        # that mode always runs the caller-supplied int8 per-chunk
+        # program, which can only compile after first-slide calibration.
+        chunk_buckets = []
+        if self.args.int8:
+            print("serve: prewarm skips the extractor ladder under "
+                  "--int8 (programs compile after calibration)",
+                  flush=True)
+        else:
+            extract = inference._cached_transform_extract(
+                self.cfg, self.compute_dtype, self.args.resolution)
+            cnn = self.params["cnn"]
+            sharding = None
+            if self.mesh is not None:
+                from ..parallel import mesh as M
 
-            cnn = inference._replicated_tree(cnn, self.mesh)
-            sharding = M.tile_stream_sharding(self.mesh)
-        chunk_buckets = sorted(
-            {bucket_for(b, multiple_of=n_dev)
-             for b in DEFAULT_BUCKETS
-             if b <= min(tiles, self.args.chunk)} or
-            {bucket_for(min(tiles, self.args.chunk), multiple_of=n_dev)})
-        for b in chunk_buckets:
-            part = np.zeros((b, roi, roi, 3), np.uint8)
-            part = (jax.device_put(part, sharding) if sharding is not None
-                    else jnp.asarray(part))
-            jax.block_until_ready(extract(cnn, part))
-            print(f"serve: prewarmed extractor chunk={b}", flush=True)
+                cnn = inference._replicated_tree(cnn, self.mesh)
+                sharding = M.tile_stream_sharding(self.mesh)
+            eff_chunk = min(tiles, self.args.chunk)
+            eff_chunk = max(n_dev,
+                            ((eff_chunk + n_dev - 1) // n_dev) * n_dev)
+            chunk_buckets = sorted(
+                {bucket_for(b, multiple_of=n_dev)
+                 for b in DEFAULT_BUCKETS
+                 if b <= min(tiles, self.args.chunk)} | {eff_chunk})
+            for b in chunk_buckets:
+                part = np.zeros((b, roi, roi, 3), np.uint8)
+                part = (jax.device_put(part, sharding)
+                        if sharding is not None else jnp.asarray(part))
+                jax.block_until_ready(extract(cnn, part))
+                print(f"serve: prewarmed extractor chunk={b}", flush=True)
 
-        # masked pool: one program per slide-size bucket
+        # masked pool: one program per slide-size bucket — ladder buckets
+        # plus every 1024-granule up to TILES (slides above 2560 tiles
+        # pool at granule-rounded sizes; see data.loader.bucket_for)
         pool = inference._cached_pool(self.cfg)
-        for b in sorted({bucket_for(t) for t in (*DEFAULT_BUCKETS, tiles)
-                         if bucket_for(t) <= bucket_for(tiles)}):
+        pool_buckets = sorted(
+            {bucket_for(t)
+             for t in (*DEFAULT_BUCKETS, tiles,
+                       *range(DEFAULT_BUCKETS[-1] + 1, tiles + 1, 1024))
+             if bucket_for(t) <= bucket_for(tiles)})
+        for b in pool_buckets:
             jax.block_until_ready(
                 pool(self.params, jnp.zeros((b, self.cfg.L)), jnp.int32(b)))
         print(f"serve: prewarm done ({len(chunk_buckets)} extractor + "
-              f"pool programs, {time.perf_counter() - t0:.1f}s)",
-              flush=True)
+              f"{len(pool_buckets)} pool programs, "
+              f"{time.perf_counter() - t0:.1f}s)", flush=True)
 
     def run(self) -> int:
         self.prewarm()

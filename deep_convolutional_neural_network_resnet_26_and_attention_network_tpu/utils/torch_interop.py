@@ -167,12 +167,10 @@ _EXPORT_RULES = [
 ]
 
 
-def export_state_dict(params) -> dict:
-    """Our attention-MIL params -> reference-keyed numpy state_dict."""
-    from ..train.checkpoint import _flatten
-
+def _export_flat(flat: dict) -> dict:
+    """'/'-keyed attention-MIL leaves -> reference-keyed numpy arrays."""
     out = {}
-    for okey, value in _flatten(params).items():
+    for okey, value in flat.items():
         for rx, template, kind in _EXPORT_RULES:
             m = rx.match(okey)
             if not m:
@@ -192,6 +190,13 @@ def export_state_dict(params) -> dict:
         else:
             raise KeyError(f"no reference mapping for parameter {okey!r}")
     return out
+
+
+def export_state_dict(params) -> dict:
+    """Our attention-MIL params -> reference-keyed numpy state_dict."""
+    from ..train.checkpoint import _flatten
+
+    return _export_flat(_flatten(params))
 
 
 def import_checkpoint(src: str, dest: str, *,
@@ -233,30 +238,8 @@ def export_checkpoint(src: str, dest: str) -> list:
     blob = load_raw(src)
     params_flat = {k[len("classifier/"):]: v for k, v in blob.items()
                    if k.startswith("classifier/")}
-    # _EXPORT_RULES run on flat '/'-keys; reuse export_state_dict's loop
-    # via a shim pytree (flat dict of one level is itself a valid pytree,
-    # but _flatten would re-join keys containing '/' — map directly).
-    out = {}
-    for okey, value in params_flat.items():
-        for rx, template, kind in _EXPORT_RULES:
-            m = rx.match(okey)
-            if not m:
-                continue
-            g = m.groups()
-            if okey.startswith("cnn/stages"):
-                fields = {"s": int(g[0]) + 1, "b": int(g[1])}
-                if len(g) > 2:
-                    fields["c"] = g[2]
-                ref = template.format(**fields)
-            elif "{c}" in template:
-                ref = template.format(c=g[0])
-            else:
-                ref = template
-            out[ref] = torch.from_numpy(np.ascontiguousarray(
-                _to_torch(value, kind)))
-            break
-        else:
-            raise KeyError(f"no reference mapping for parameter {okey!r}")
+    out = {k: torch.from_numpy(np.ascontiguousarray(v))
+           for k, v in _export_flat(params_flat).items()}
     torch.save({"classifier": out}, dest)
     return sorted(out)
 

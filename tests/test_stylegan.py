@@ -217,6 +217,22 @@ def test_gan_trainer_smoke(image_dir, tmp_path):
     assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
 
+def test_gan_mesh_schedule_check_honors_init_size(tmp_path):
+    """The up-front --mesh batch-divisibility check must validate the
+    SAME resolution schedule the training loop runs: with --init_size 512
+    the very first epoch uses STEP_BATCH_SIZE[512]=100 (not divisible by
+    8), and that must be rejected at startup, not mid-flight."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    with pytest.raises(RuntimeError, match="not divisible over --mesh"):
+        gan.main(["--data_dir", str(tmp_path), "--output_dir",
+                  str(tmp_path / "out"), "--mesh", "8",
+                  "--init_size", "512", "--max_size", "512",
+                  "--epochs", "1", "--width_mult", "0.0625"])
+
+
 @pytest.mark.slow
 def test_gan_trainer_mesh_smoke(image_dir, tmp_path):
     """--mesh 8: the data-parallel trainer runs end to end (device_puts,
