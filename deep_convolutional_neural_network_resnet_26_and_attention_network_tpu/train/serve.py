@@ -489,13 +489,14 @@ class SlideServer:
 
                 cnn = inference._replicated_tree(cnn, self.mesh)
                 sharding = M.tile_stream_sharding(self.mesh)
-            eff_chunk = min(tiles, self.args.chunk)
-            eff_chunk = max(n_dev,
-                            ((eff_chunk + n_dev - 1) // n_dev) * n_dev)
+            # exactly the shapes classify_slide_streaming mints for
+            # T <= TILES: min(mesh-rounded --chunk, bucket_for(T))
+            chunk_r = max(n_dev,
+                          ((self.args.chunk + n_dev - 1) // n_dev) * n_dev)
             chunk_buckets = sorted(
-                {bucket_for(b, multiple_of=n_dev)
-                 for b in DEFAULT_BUCKETS
-                 if b <= min(tiles, self.args.chunk)} | {eff_chunk})
+                {min(chunk_r, bucket_for(v, multiple_of=n_dev))
+                 for v in (*DEFAULT_BUCKETS, tiles)
+                 if bucket_for(v) <= bucket_for(tiles)})
             for b in chunk_buckets:
                 part = np.zeros((b, roi, roi, 3), np.uint8)
                 part = (jax.device_put(part, sharding)
@@ -515,6 +516,10 @@ class SlideServer:
         for b in pool_buckets:
             jax.block_until_ready(
                 pool(self.params, jnp.zeros((b, self.cfg.L)), jnp.int32(b)))
+        # the small post-pool host ops (softmax/argmax on [1, K]) also
+        # compile on first dispatch — warm them so slide 1 is pure compute
+        probs = jax.nn.softmax(jnp.zeros((1, self.cfg.K)), axis=1)
+        jax.block_until_ready(jnp.argmax(probs))
         print(f"serve: prewarm done ({len(chunk_buckets)} extractor + "
               f"{len(pool_buckets)} pool programs, "
               f"{time.perf_counter() - t0:.1f}s)", flush=True)
