@@ -15,6 +15,7 @@ transfer-mode key filter a literal string match like the original.
 import io
 import os
 import re
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -146,6 +147,54 @@ def restore_opt_state(opt_state, path: str):
     leaves, treedef = jax.tree_util.tree_flatten(opt_state)
     new_leaves = [vals.get(k, leaf) for k, leaf in zip(flat_order, leaves)]
     return jax.tree_util.tree_unflatten(treedef, new_leaves), True
+
+
+class AsyncCheckpointer:
+    """Overlap the checkpoint's D2H fetch + serialization + file write with
+    training (the idiom orbax calls async checkpointing).
+
+    ``save()``/``submit()`` capture pytree *references* and return
+    immediately; a worker thread does the ``np.asarray`` device fetches,
+    flattening, and the atomic tmp+rename write. This is safe because JAX
+    arrays are immutable and no trainer here donates parameter buffers —
+    the next step builds NEW arrays, it never mutates the snapshot. At most
+    one write is in flight: a new submit (or ``wait()``) joins the previous
+    one first, and a worker failure re-raises there instead of vanishing.
+    Callers MUST ``wait()`` before process exit / halt paths so the final
+    epoch's file is durable (the thread is non-daemon, so a clean
+    interpreter exit also drains it).
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._exc: BaseException | None = None
+
+    def submit(self, fn, /, *args, **kwargs):
+        self.wait()
+
+        def run():
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:  # surfaced by the next wait()
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=run, name="async-checkpoint-writer")
+        self._thread.start()
+
+    def save(self, path: str, params, opt_state=None,
+             extra: dict | None = None):
+        """Async counterpart of module-level ``save``."""
+        self.submit(save, path, params, opt_state, extra)
+
+    def wait(self):
+        """Join the in-flight write (if any); re-raise its failure."""
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._exc is not None:
+            e, self._exc = self._exc, None
+            raise e
 
 
 def latest_checkpoint(output_dir: str) -> str | None:

@@ -154,6 +154,10 @@ class Driver:
         params = amil.init_attention_mil(jax.random.PRNGKey(args.seed), cfg)
         self.tx = steps.make_optimizer()
         self.state = steps.init_train_state(params, self.tx)
+        # per-epoch checkpoint writes (D2H fetch + npz + rename) overlap
+        # the next epoch's steps; safe because state pytrees are rebound,
+        # never mutated, and the train steps run with donate=False
+        self.ckpt_writer = checkpoint.AsyncCheckpointer()
 
         self.grad_fn = steps.make_bag_grad(cfg, compute_dtype=self.compute_dtype)
         self.fwd_eval = steps.make_bag_forward(cfg, train=False,
@@ -227,6 +231,7 @@ class Driver:
               f"{epoch}; halting WITHOUT checkpointing — fix the config "
               "and resume from the last good checkpoint (--ckpt auto)",
               file=sys.stderr)
+        self.ckpt_writer.wait()  # last healthy epoch's write must land
         self.diverged = True  # main() exits DIVERGED_EXIT, not 0
         return False
 
@@ -250,9 +255,10 @@ class Driver:
     def train_epoch(self, epoch: int, dataset, epoch_stats: dict):
         stage = schedule.stage_for_epoch(epoch)
         if stage.stop:
-            checkpoint.save(
+            self.ckpt_writer.save(
                 checkpoint.checkpoint_path(self.output_dir, epoch, final=True),
                 self.state.params)
+            self.ckpt_writer.wait()
             print(f"Stage = [Stop]: saved FINAL checkpoint at epoch {epoch}")
             return False
         print(f"===> TRAIN: Epoch = {epoch} "
@@ -336,8 +342,9 @@ class Driver:
 
         if not np.isfinite(sums["loss"]):
             return self._halt_non_finite(epoch, sums["loss"])
-        checkpoint.save(checkpoint.checkpoint_path(self.output_dir, epoch),
-                        self.state.params, self.state.opt_state)
+        self.ckpt_writer.save(
+            checkpoint.checkpoint_path(self.output_dir, epoch),
+            self.state.params, self.state.opt_state)
         n = max(n, 1)
         epoch_stats["train_acc"] = classification_report(
             labels, predictions, labels=[0, 1, 2], target_names=TARGET_NAMES,
@@ -430,8 +437,9 @@ class Driver:
         dt = time.time() - t0
         if not _np.isfinite(float(fetched["loss"].sum())):
             return self._halt_non_finite(epoch, float(fetched["loss"].sum()))
-        checkpoint.save(checkpoint.checkpoint_path(self.output_dir, epoch),
-                        self.state.params, self.state.opt_state)
+        self.ckpt_writer.save(
+            checkpoint.checkpoint_path(self.output_dir, epoch),
+            self.state.params, self.state.opt_state)
         n = max(n, 1)
         epoch_stats["train_acc"] = classification_report(
             labels, predictions, labels=[0, 1, 2], target_names=TARGET_NAMES,
@@ -812,6 +820,7 @@ def main(argv=None):
             tb_writer.log_epoch(ep, epoch_stats)
     if tb_writer is not None:
         tb_writer.close()
+    driver.ckpt_writer.wait()  # the last epoch's checkpoint must be durable
     # a halted-on-divergence run must be distinguishable from success to
     # supervisors (the Stop-stage break, by contrast, is a clean finish)
     return DIVERGED_EXIT if driver.diverged else 0

@@ -393,6 +393,13 @@ def train_gan(args):
     n_blocks = len(sg._gen_layout(width))
 
     step_fns = {}
+    # async writer: the full-width 5-part checkpoint is ~200 MB of npz —
+    # its fetch+compress+write can dominate epoch wall time at small
+    # resolutions (GAN convergence run: ~1-2 s compute/epoch vs ~200 MB
+    # save), so it overlaps the next epoch's steps instead of blocking
+    # them. Safe: params_g/params_d/opt_*/g_running are rebound, never
+    # mutated, and no step donates their buffers.
+    ckpt_writer = checkpoint.AsyncCheckpointer()
     for epoch in range(args.epoch_start, args.epochs):
         step = min(init_step + epoch // args.step_every, max_step)
         final_progress = (init_step + epoch // args.step_every) >= max_step
@@ -528,6 +535,7 @@ def train_gan(args):
             # guard: halt WITHOUT checkpointing the poisoned epoch so the
             # newest checkpoint on disk stays the last healthy one;
             # main() converts this to exit code DIVERGED_EXIT
+            ckpt_writer.wait()  # last healthy epoch's write must land
             raise Diverged(
                 f"non-finite GAN losses at epoch {epoch} "
                 f"(G {gen_loss}, D {disc_loss}, GP {gp}); halted "
@@ -545,9 +553,11 @@ def train_gan(args):
             g_running, zs, noise, step=step, alpha=1.0, width_mult=width)
         save_image_grid(imgs, os.path.join(
             sample_dir, f"e{epoch}_gen.png"), nrow=4)
-        save_gan_checkpoint(
+        ckpt_writer.submit(
+            save_gan_checkpoint,
             os.path.join(ckpt_dir, f"train_step-{epoch}.model"),
             params_g, params_d, opt_g, opt_d, g_running)
+    ckpt_writer.wait()  # the final epoch's checkpoint must be durable
     return params_g, params_d, g_running
 
 

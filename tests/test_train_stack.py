@@ -147,6 +147,31 @@ def test_checkpoint_nonstrict_skips_mismatch(tmp_path):
         checkpoint.restore_params(bigger, path, strict=True)
 
 
+def test_async_checkpointer_bitwise_and_error_surfacing(tmp_path):
+    params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
+    w = checkpoint.AsyncCheckpointer()
+
+    w.save(str(tmp_path / "async.model"), params,
+           extra={"epoch": np.int64(7)})
+    w.wait()
+    checkpoint.save(str(tmp_path / "sync.model"), params,
+                    extra={"epoch": np.int64(7)})
+    a = checkpoint.load_raw(str(tmp_path / "async.model"))
+    b = checkpoint.load_raw(str(tmp_path / "sync.model"))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+    # a worker failure re-raises at the next wait(), not silently
+    w.save(str(tmp_path / "no_such_dir" / "x.model"), params)
+    with pytest.raises(OSError):
+        w.wait()
+    # ... and the writer is reusable afterwards
+    w.save(str(tmp_path / "after.model"), params)
+    w.wait()
+    assert os.path.isfile(tmp_path / "after.model")
+
+
 def test_latest_checkpoint(tmp_path):
     params = amil.init_attention_mil(jax.random.PRNGKey(0), TINY)
     for ep in (1, 3, 2):
@@ -186,6 +211,32 @@ def test_write_map_dla_format(tmp_path):
     assert (int(x), int(y)) == (0, 1200)  # x=col, y=row
     assert float(w) == pytest.approx((0.5 - 0.1) / (0.9 - 0.1))
     assert "idX" in manifest.getvalue()
+
+
+def test_attention_overlay_grid_and_colors():
+    """The panel's RGBA overlay colors exactly the tile cells the
+    reference's per-tile Rectangle loop would (incl. the w == 0 tile) and
+    leaves empty cells transparent."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        heatmap,
+    )
+    from matplotlib import cm
+
+    cmap_lin = cm.jet(np.linspace(0, 1, 105))
+    s = 1200
+    rows = np.array([0, 0, 2 * s])        # grid cells (0,0), (0,1), (2,0)
+    cols = np.array([0, s, 0])
+    w = np.array([0.0, 57.3, 400.0])      # min, interior, > 104 clip
+    ov = heatmap.attention_overlay(w, rows, cols, s, n_rows=3, n_cols=2,
+                                   alpha=0.9, cmap_lin=cmap_lin)
+    assert ov.shape == (3, 2, 4)
+    np.testing.assert_allclose(ov[0, 0, :3], cmap_lin[0][:3])    # w=0 drawn
+    np.testing.assert_allclose(ov[0, 1, :3], cmap_lin[57][:3])   # int() trunc
+    np.testing.assert_allclose(ov[2, 0, :3], cmap_lin[104][:3])  # clipped
+    assert np.all(ov[[0, 0, 2], [0, 1, 0], 3] == np.float32(0.9))
+    empty = np.ones((3, 2), bool)
+    empty[[0, 0, 2], [0, 1, 0]] = False
+    assert np.all(ov[empty] == 0.0)       # no-tile cells fully transparent
 
 
 def test_activation_summary_and_grids():
