@@ -544,6 +544,15 @@ def _reference_style_heatmap(img_data, raster, A, tmpdir) -> float:
 
 
 def bench_multislide_sharded(quick: bool, no_baseline: bool = False):
+    """BASELINE config 5: **200-slide batched throughput** — a cohort of
+    64-tile slides processed in multi-slide groups per dispatch (the
+    serving daemon's --batch path), bags sharded over the (slides, tiles)
+    mesh when >1 device is present. Earlier rounds ran 2 bags/dispatch,
+    which measured small-dispatch latency, not the cohort throughput the
+    config is defined as (BASELINE.md: '200-slide batched throughput,
+    bags sharded over v5e-8'). Inputs are uint8 with the eval normalize
+    fused into the program — the production serving ingest (config 1's
+    economics)."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
         inference,
         mesh as M,
@@ -551,30 +560,44 @@ def bench_multislide_sharded(quick: bool, no_baseline: bool = False):
 
     platform = jax.devices()[0].platform
     n_dev = len(jax.devices())
-    small = quick or platform == "cpu"
-    mode = "quick" if small else "full"
+    small = platform == "cpu"
+    mode = "quick" if (quick or small) else "full"
     cfg = (amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
            if small else amil.MILConfig())
     params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
-    B = max(2, n_dev)
-    T, res = (16, 64) if small else (64, TILE_RES)
-    iters = 2 if small else 3
+    if small:
+        G, T, res, groups = 8, 16, 64, 2  # toy cohort: 16 slides
+    elif quick:
+        # quick-on-TPU reuses the FULL group shape (one cached compile);
+        # one timed group = a 40-slide cohort
+        G, T, res, groups = 40, 64, TILE_RES, 1
+    else:
+        # 5 groups x 40 slides = the 200-slide cohort; 40x64 = 2560
+        # tiles/dispatch amortizes dispatch overhead without pushing the
+        # 300px activation working set to the HBM ceiling
+        G, T, res, groups = 40, 64, TILE_RES, 5
+    cohort = G * groups
     mesh = M.make_mesh(n_dev) if n_dev > 1 else None
-    _progress(f"config 5: compiling ({B}x{T} bags @ {res}px, "
-              f"{n_dev} devices)")
-    infer = inference.make_batched_infer(cfg, mesh)
-    base_tiles = jax.jit(
-        lambda k: jax.random.uniform(k, (B, T, res, res, 3), jnp.float32)
-    )(jax.random.PRNGKey(0))
-    masks = jnp.ones((B, T), jnp.float32)
-    # fresh device-resident inputs per execution (see _staged_inputs)
-    variants = _staged_inputs(base_tiles, iters)
-    float(jnp.sum(infer(params, base_tiles, masks)["y_pred"]))  # compile
+    _progress(f"config 5: compiling ({cohort} slides in {groups} groups of "
+              f"{G}x{T} @ {res}px, {n_dev} devices)")
+    infer = inference.make_batched_infer(cfg, mesh,
+                                         transform_resolution=res)
+    gen = jax.jit(lambda k: jax.random.randint(
+        k, (G, T, res, res, 3), 0, 256, jnp.uint8))
+    masks = jnp.ones((G, T), jnp.float32)
+    # fresh never-executed device-resident inputs per group (the axon
+    # runtime caches results for identical (executable, inputs) pairs)
+    batches = [gen(jax.random.fold_in(jax.random.PRNGKey(1), i))
+               for i in range(groups)]
+    float(sum(_u8_checksum(b) for b in batches))  # materialize staging
+    warm = gen(jax.random.PRNGKey(9))
+    float(jnp.sum(infer(params, warm, masks)["y_pred"]))  # compile+warmup
+    del warm
     t0 = time.perf_counter()
-    outs = [infer(params, v, masks) for v in variants]
+    outs = [infer(params, b, masks) for b in batches]
     float(sum(jnp.sum(o["y_pred"]) for o in outs))
     dt = time.perf_counter() - t0
-    tiles_per_sec = B * T * iters / dt
+    tiles_per_sec = cohort * T / dt
     # torch replica on ONE bag of the full tile shape, scaled to tiles/s
     base_v, src = _baseline(
         "5", lambda: _torch_bag_baseline(amil.MILConfig(), 16, TILE_RES,
@@ -582,9 +605,10 @@ def bench_multislide_sharded(quick: bool, no_baseline: bool = False):
         quick=quick or small, no_baseline=no_baseline)
     vs = tiles_per_sec / base_v if base_v and not small else None
     _emit("sharded_multislide_tiles_per_sec", tiles_per_sec,
-          f"tiles/sec ({B} bags x {T} tiles @ {res}px over {n_dev} "
-          f"{platform} devices)", vs, mode=mode, n_devices=n_dev,
-          small=small,
+          f"tiles/sec ({cohort}-slide cohort, groups of {G} bags x {T} "
+          f"tiles @ {res}px uint8, {n_dev} {platform} devices)", vs,
+          mode=mode, n_devices=n_dev, small=small,
+          slides_per_min=60.0 * cohort / dt, cohort=cohort,
           **({"baseline_source": src} if src else {}))
 
 

@@ -30,7 +30,12 @@ def _normalize(x_f32_01):
 
 def _resize_bilinear(x, resolution):
     """[N, H, W, C] float -> [N, res, res, C], anti-aliased like PIL."""
-    n, _, _, c = x.shape
+    n, h, w, c = x.shape
+    if h == resolution and w == resolution:
+        # identity resize: the separable bilinear contraction is NOT free
+        # at equal size (two [res,res] weight contractions per image), and
+        # prebuilt caches already at network resolution hit this every tile
+        return x
     return jax.image.resize(x, (n, resolution, resolution, c), "bilinear",
                             antialias=True)
 
