@@ -110,6 +110,24 @@ def _cached_pool(cfg):
     return _FWD_CACHE[key]
 
 
+def streaming_chunk_for(n_tiles: int, chunk: int, n_dev: int = 1) -> int:
+    """The exact extractor chunk shape ``classify_slide_streaming`` mints
+    for a slide of ``n_tiles`` tiles given a user ``chunk`` on ``n_dev``
+    devices: a slide smaller than the chunk clamps to the bucket ladder
+    (so it never pads — and transfers — up to the full chunk), and with a
+    mesh the result rounds UP to a device multiple, staying on the same
+    ladder ``bucket_for(multiple_of=n_dev)`` defines. Shared with serve's
+    ``--prewarm`` so the prewarmed program set cannot drift from the
+    shapes the request path actually compiles."""
+    from ..data.loader import bucket_for
+
+    if n_tiles < chunk:
+        chunk = min(chunk, bucket_for(max(n_tiles, 1), multiple_of=n_dev))
+    if n_dev > 1:
+        chunk = max(n_dev, ((chunk + n_dev - 1) // n_dev) * n_dev)
+    return chunk
+
+
 def classify_slide(params, cfg: amil.MILConfig, builder, *,
                    resolution: int = 300, compute_dtype=jnp.bfloat16,
                    use_pallas_pool: bool | None = None):
@@ -182,22 +200,13 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
     # big chunks amortize the per-dispatch overhead, but a slide smaller
     # than the chunk must not pad up to it (a 100-tile slide zero-padded
     # to 1024 would run 10x the useful forward work): clamp to the
-    # bucket covering the slide — WITH the mesh multiple, so the sharded
-    # clamp lands on the same ladder bucket_for defines (e.g. 36 for a
-    # 32-bucket on 6 devices). Rounding a clamped chunk down to a device
-    # multiple instead would mint off-ladder shapes (30 in that example)
-    # and compile a fresh extractor program per slide-size class.
-    if raw.shape[0] < chunk:
-        from ..data.loader import bucket_for
-        chunk = min(chunk, bucket_for(max(raw.shape[0], 1),
-                                      multiple_of=n_dev))
+    # bucket covering the slide, then round UP to a device multiple —
+    # the shared helper keeps serve --prewarm minting identical shapes
+    chunk = streaming_chunk_for(raw.shape[0], chunk, n_dev)
 
     cnn = params["cnn"]
     part_sharding = None
     if mesh is not None:
-        # user-supplied chunk divisible over all devices (padded tiles
-        # are trimmed after); round UP, matching bucket_for's semantics
-        chunk = max(n_dev, ((chunk + n_dev - 1) // n_dev) * n_dev)
         part_sharding = M.tile_stream_sharding(mesh)
         cnn = _replicated_tree(cnn, mesh)
 

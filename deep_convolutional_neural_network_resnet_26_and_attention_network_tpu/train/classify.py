@@ -231,8 +231,16 @@ class Driver:
               f"{epoch}; halting WITHOUT checkpointing — fix the config "
               "and resume from the last good checkpoint (--ckpt auto)",
               file=sys.stderr)
-        self.ckpt_writer.wait()  # last healthy epoch's write must land
         self.diverged = True  # main() exits DIVERGED_EXIT, not 0
+        try:
+            self.ckpt_writer.wait()  # last healthy epoch's write must land
+        except Exception as exc:
+            # a failed pending write (e.g. ENOSPC) must not mask the
+            # divergence diagnosis — the DIVERGED_EXIT contract is what
+            # supervisors key on; the newest DURABLE checkpoint is simply
+            # one epoch older, which the halt message already covers
+            print(f"WARNING: pending checkpoint write also failed: {exc}",
+                  file=sys.stderr)
         return False
 
     def epoch_key(self, epoch: int, *, validate: bool = False):

@@ -535,12 +535,18 @@ def train_gan(args):
             # guard: halt WITHOUT checkpointing the poisoned epoch so the
             # newest checkpoint on disk stays the last healthy one;
             # main() converts this to exit code DIVERGED_EXIT
-            ckpt_writer.wait()  # last healthy epoch's write must land
-            raise Diverged(
+            halt = Diverged(
                 f"non-finite GAN losses at epoch {epoch} "
                 f"(G {gen_loss}, D {disc_loss}, GP {gp}); halted "
                 "WITHOUT checkpointing — resume from the previous "
                 "epoch's checkpoint")
+            try:
+                ckpt_writer.wait()  # last healthy epoch's write must land
+            except Exception as exc:
+                # a failed pending write must not mask the divergence
+                # diagnosis (main() keys DIVERGED_EXIT off this type)
+                raise halt from exc
+            raise halt
         print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "
               f"G {gen_loss:.3f}; D {disc_loss:.3f}; GP {gp:.3f}; "
               f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")

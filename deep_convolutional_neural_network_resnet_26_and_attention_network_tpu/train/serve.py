@@ -490,12 +490,15 @@ class SlideServer:
                 cnn = inference._replicated_tree(cnn, self.mesh)
                 sharding = M.tile_stream_sharding(self.mesh)
             # exactly the shapes classify_slide_streaming mints for
-            # T <= TILES: min(mesh-rounded --chunk, bucket_for(T))
-            chunk_r = max(n_dev,
-                          ((self.args.chunk + n_dev - 1) // n_dev) * n_dev)
+            # T <= TILES — via the SHARED helper, over the same candidate
+            # sizes the pool ladder enumerates (ladder buckets plus every
+            # 1024-granule up to TILES: a 3000-tile slide under
+            # --chunk 4096 streams at chunk 3072, which only the granule
+            # candidates produce)
             chunk_buckets = sorted(
-                {min(chunk_r, bucket_for(v, multiple_of=n_dev))
-                 for v in (*DEFAULT_BUCKETS, tiles)
+                {inference.streaming_chunk_for(v, self.args.chunk, n_dev)
+                 for v in (*DEFAULT_BUCKETS, tiles,
+                           *range(DEFAULT_BUCKETS[-1] + 1, tiles + 1, 1024))
                  if bucket_for(v) <= bucket_for(tiles)})
             for b in chunk_buckets:
                 part = np.zeros((b, roi, roi, 3), np.uint8)

@@ -27,7 +27,8 @@ from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.paral
 )
 from tools.comm_audit import parse_collectives, _tree_bytes
 
-pytestmark = pytest.mark.skipif(
+# the HLO-parser unit test below is device-free; only the mesh tests skip
+needs_mesh = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
 
 CFG = amil.MILConfig(widths=(8, 8, 8, 8), blocks=(1, 1, 1, 1))
@@ -37,6 +38,7 @@ def _params():
     return amil.init_attention_mil(jax.random.PRNGKey(0), CFG)
 
 
+@needs_mesh
 def test_streaming_extract_is_collective_free():
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (  # noqa: E501
         transforms,
@@ -62,6 +64,7 @@ def test_streaming_extract_is_collective_free():
         "the per-tile extract path must stay embarrassingly parallel")
 
 
+@needs_mesh
 @pytest.mark.slow  # fwd+bwd+Adam compile is ~2 min on the 1-CPU host
 def test_dp_train_step_syncs_one_param_tree():
     mesh = M.make_mesh(8, slides=8)
@@ -85,6 +88,7 @@ def test_dp_train_step_syncs_one_param_tree():
     assert ar["payload_bytes"] >= param_bytes
 
 
+@needs_mesh
 def test_explicit_pool_moves_exactly_its_statistics():
     mesh = M.make_mesh(8, slides=1)
     params = _params()

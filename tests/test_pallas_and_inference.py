@@ -288,3 +288,25 @@ def test_pallas_stem_u8_matches_conv7():
     with pytest.raises(ValueError, match="expects uint8"):
         pallas_stem.stem_u8_conv(conv1, jnp.zeros((1, 300, 300, 3)),
                                  alpha=1.0, beta=0.0)
+
+
+def test_streaming_chunk_for_covers_granule_sizes():
+    """The shared helper must mint, for every slide size, the exact chunk
+    shape the streaming loop compiles — serve --prewarm enumerates its
+    ladder through this function, so a drift here is a request-path
+    compile spike prewarm promised to remove (advisor round 3)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel.inference import (  # noqa: E501
+        streaming_chunk_for,
+    )
+
+    # slides >= the chunk stream at the chunk itself
+    assert streaming_chunk_for(10_000, 1024) == 1024
+    # small slides clamp to their ladder bucket, not the full chunk
+    assert streaming_chunk_for(100, 1024) == 128
+    # sizes between the top ladder bucket (2560) and the chunk land on
+    # 1024-granules — the shapes the old prewarm enumeration missed
+    assert streaming_chunk_for(3000, 4096) == 3072
+    assert streaming_chunk_for(3500, 4096) == 4096
+    # mesh: round UP to a device multiple, on bucket_for's own ladder
+    assert streaming_chunk_for(30, 32, n_dev=6) == 36
+    assert streaming_chunk_for(10_000, 1000, n_dev=6) == 1002

@@ -44,12 +44,9 @@ PKG = "deep_convolutional_neural_network_resnet_26_and_attention_network_tpu"
 
 def build_hetero_cohort(root, sizes, roi, seed=0):
     """One slide per entry of ``sizes`` — every tile count distinct."""
-    slides = None
+    slides = build_cohort(root, 0, 0, roi)  # ensure dirs + CACHE_DIR
+    cache = os.path.join(root, "cache")
     for i, n in enumerate(sizes):
-        # reuse build_cohort's writer one slide at a time (distinct dirs
-        # would break the watch dir, so write via its internals)
-        slides = build_cohort(root, 0, 0, roi)  # ensure dirs + CACHE_DIR
-        cache = os.path.join(root, "cache")
         rng = np.random.default_rng(seed + i)
         name = f"GHP_{i:03d}_A_H&E.scn"
         with open(os.path.join(slides, name), "wb") as f:
@@ -81,8 +78,12 @@ def run_variant(tag, tree, slides_dir, cache_dir, out_root, args, extra):
             "--roi_size", str(args.roi), "--chunk", str(args.chunk),
             "--once", "--settle_secs", "0", "--seed", "0"] + extra
     t0 = time.perf_counter()
+    # cwd=tree: `python -m` puts the child's cwd at sys.path[0], AHEAD of
+    # PYTHONPATH — launched from the repo root, the current tree would
+    # silently shadow the old-tree worktree and the A/B would measure
+    # new-vs-new (this bug invalidated the first committed old-tree row)
     proc = subprocess.run(argv, env=env, capture_output=True, text=True,
-                          timeout=args.timeout)
+                          timeout=args.timeout, cwd=tree)
     wall = time.perf_counter() - t0
     rows = []
     csv_path = os.path.join(out_root, "results.csv")
@@ -133,7 +134,9 @@ def main():
                          40, 52, 57, 61, 48, 63,
                          70, 90, 101, 120, 96, 127,
                          130, 170, 201, 240, 150, 250) if s <= args.max_tiles]
-    workdir = args.keep or tempfile.mkdtemp(prefix="serve_hetero_")
+    # absolute: the variant subprocesses run with cwd=tree
+    workdir = (os.path.abspath(args.keep) if args.keep
+               else tempfile.mkdtemp(prefix="serve_hetero_"))
     slides = build_hetero_cohort(workdir, sizes, args.roi)
     cache = os.path.join(workdir, "cache")
     print(f"# cohort: {len(sizes)} slides, sizes {min(sizes)}..{max(sizes)}"
