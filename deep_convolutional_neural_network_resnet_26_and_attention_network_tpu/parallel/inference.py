@@ -144,12 +144,14 @@ def classify_slide(params, cfg: amil.MILConfig, builder, *,
     outs = fwd(params, bag, mask)
     T = tiles.shape[0]
     outs = dict(outs)
-    outs["Aterm"] = outs["Aterm"][:, :T]
-    outs["wROIs"] = outs["wROIs"][:, :T]
-    outs["Fterm"] = outs["Fterm"][:T]
-    outs["Bterm"] = outs["Bterm"][:T]  # [T, O] instance codes: pad rows
-    # hold the bias response to zero tiles — trim like the other
-    # per-tile keys so coords zip cleanly
+    # trim the per-tile keys ON HOST: a device slice [:, :T] compiles one
+    # micro-program per distinct slide size, and interface mode runs this
+    # over whole cohorts of distinct sizes ([T, O] Bterm pad rows hold
+    # the bias response to zero tiles — trim so coords zip cleanly)
+    outs["Aterm"] = np.asarray(outs["Aterm"])[:, :T]
+    outs["wROIs"] = np.asarray(outs["wROIs"])[:, :T]
+    outs["Fterm"] = np.asarray(outs["Fterm"])[:T]
+    outs["Bterm"] = np.asarray(outs["Bterm"])[:T]
     return np.asarray(outs["y_pred"]).ravel(), outs, coords
 
 
@@ -223,32 +225,44 @@ def classify_slide_streaming(params, cfg: amil.MILConfig, builder, *,
             part = jax.device_put(part, part_sharding)
         else:
             part = jnp.asarray(part)
-        # uint8 H2D (4x less transfer) + transform + extract in one program
-        feats.append(extract(cnn, part)[:valid])
-    H = jnp.concatenate(feats, axis=0)
-    if mesh is not None:  # pool on the default device
-        H = jax.device_get(H)
-        H = jnp.asarray(H)
+        # uint8 H2D (4x less transfer) + transform + extract in one
+        # program; the pad trim happens on host below — a device [:valid]
+        # slice would mint one micro-program per tail size
+        feats.append((extract(cnn, part), valid))
+
+    # HOST assembly: any device op over a [T, L] array (concatenate, pad,
+    # slice) compiles one micro-program per DISTINCT SLIDE SIZE — on a
+    # long-running serving daemon those per-novel-size compiles, not the
+    # pool itself, dominate the compile bill on mixed cohorts (measured:
+    # tools/exp_serve_hetero.py). Features leave the device at ladder
+    # chunk shape and the pool input enters at bucket shape, so the warm
+    # program set is exactly the chunk ladder x pool buckets that
+    # serve --prewarm mints. D2H is [T, L] f32 (~16 MB for 50k tiles).
+    H = np.concatenate([np.asarray(f)[:v] for f, v in feats], axis=0)
 
     # bucket the pool input (ladder below 2560, 1024-granules above) and
-    # mask the pad: one compiled pool program per bucket, not per
-    # distinct slide size — see _cached_pool
+    # mask the pad: one compiled pool program per bucket — see _cached_pool
     T = H.shape[0]
     from ..data.loader import bucket_for
     Tb = bucket_for(T)
+    Hp = H
     if Tb > T:
-        H = jnp.pad(H, ((0, Tb - T), (0, 0)))
+        Hp = np.zeros((Tb, H.shape[1]), H.dtype)
+        Hp[:T] = H
     pool = _cached_pool(cfg)
-    pooled = pool(params, H, jnp.int32(T))
-    # restore the exact-T output contract (consumers index Aterm/Fterm
-    # by raster rows; streaming_eval_outputs averages Fterm)
+    pooled = pool(params, jnp.asarray(Hp), jnp.int32(T))
+    # restore the exact-T output contract on host (consumers index
+    # Aterm/Fterm by raster rows; streaming_eval_outputs averages Fterm)
+    pooled = {k: np.asarray(v) for k, v in pooled.items()}
     pooled = {**pooled, "Aterm": pooled["Aterm"][:, :T],
               "wROIs": pooled["wROIs"][:, :T],
               "Bterm": pooled["Bterm"][:T]}
-    probs = jax.nn.softmax(pooled["logits"], axis=1)
+    z = pooled["logits"].astype(np.float32)
+    z = np.exp(z - z.max(axis=1, keepdims=True))
+    probs = z / z.sum(axis=1, keepdims=True)
     outs = {**pooled, "y_pred": probs,
-            "y_pred_hat": jnp.argmax(probs), "Fterm": H[:T]}
-    return np.asarray(probs).ravel(), outs, coords
+            "y_pred_hat": np.argmax(probs), "Fterm": H}
+    return probs.ravel(), outs, coords
 
 
 def streaming_eval_outputs(outs, label, cfg: amil.MILConfig):
@@ -258,15 +272,20 @@ def streaming_eval_outputs(outs, label, cfg: amil.MILConfig):
     through the streaming path with the same bookkeeping."""
     from ..ops import loss as L
 
-    H = outs["Fterm"]
-    KLD = 0.5 * jnp.mean(jnp.mean(H.astype(jnp.float32) ** 2, axis=1))
+    # KLD on host: a jnp.mean over the [T, L] feature matrix would
+    # compile one micro-program per distinct slide size (the bounded
+    # warm-program contract of the streaming path — see
+    # classify_slide_streaming's host-assembly comment)
+    H = np.asarray(outs["Fterm"], np.float32)
+    KLD = np.float32(0.5 * np.mean(np.mean(H ** 2, axis=1)))
     weight = (jnp.asarray(cfg.class_weights, jnp.float32)
               if cfg.class_weights is not None else None)
     label = jnp.asarray(label, jnp.int32).reshape(())
-    loss = L.smoothed_ce_loss(outs["logits"], label[None],
+    loss = L.smoothed_ce_loss(jnp.asarray(outs["logits"]), label[None],
                               num_classes=cfg.n_classes,
                               smoothing=cfg.smoothing, weight=weight)
-    error = 1.0 - (outs["y_pred_hat"] == label).astype(jnp.float32)
+    error = 1.0 - (np.asarray(outs["y_pred_hat"]) == int(label)
+                   ).astype(np.float32)
     return {**outs, "loss": loss, "error": error, "KLD": KLD}
 
 

@@ -7,7 +7,9 @@ slide size compiled a fresh pool program — invisible on homogeneous
 smoke cohorts, expensive on real mixed-size cohorts. This experiment
 drains the SAME mixed-size cohort (every slide a distinct tile count,
 spanning several ladder buckets) through the daemon at different code
-states / flags and reports total drain wall + warm latency.
+states / flags and reports the COMPILE COUNT (JAX_LOG_COMPILES, the
+deterministic throttle-immune signal) plus drain wall / worst-slide /
+warm latency.
 
 Variants (each a subprocess so compiles don't leak across; the
 persistent compilation cache is DISABLED inside the variants so every
@@ -27,6 +29,7 @@ CPU smoke: python tools/exp_serve_hetero.py --arch tiny --res 16 --roi 32
 import argparse
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -68,10 +71,15 @@ def build_hetero_cohort(root, sizes, roi, seed=0):
 
 def run_variant(tag, tree, slides_dir, cache_dir, out_root, args, extra):
     base_pp = os.environ.get("PYTHONPATH", "")
-    # PREPEND: the base PYTHONPATH carries the device-plugin site dir
+    # PREPEND: the base PYTHONPATH carries the device-plugin site dir.
+    # JAX_LOG_COMPILES: wall-clock deltas between variants are dominated
+    # by tunnel throttle drift (PROFILE.md); the compile COUNT is the
+    # deterministic, throttle-immune signal the pool-bucketing change is
+    # actually about (per-distinct-size programs vs per-bucket programs)
     env = dict(os.environ,
                PYTHONPATH=f"{tree}:{base_pp}" if base_pp else tree,
-               CACHE_DIR=cache_dir, JAX_DISABLE_PERSISTENT_CACHE="1")
+               CACHE_DIR=cache_dir, JAX_DISABLE_PERSISTENT_CACHE="1",
+               JAX_LOG_COMPILES="1")
     argv = [sys.executable, "-m", f"{PKG}.train.serve",
             "--watch_dir", slides_dir, "--out_root", out_root,
             "--arch", args.arch, "--resolution", str(args.res),
@@ -97,9 +105,18 @@ def run_variant(tag, tree, slides_dir, cache_dir, out_root, args, extra):
         print(json.dumps(res), flush=True)
         return res
     secs = [float(r[-1]) for r in rows]
+    # dedup exact duplicates: each log record can surface twice (root
+    # handler + timestamped handler); durations carry 9 decimals so two
+    # DISTINCT compiles never collide
+    compiles = {m for m in re.findall(
+        r"Finished XLA compilation of (.*? in ([0-9.]+) sec)",
+        proc.stderr)}
+    compiles = sorted(float(d) for _, d in compiles)
     res = {
         "variant": tag, "rc": 0, "n_slides": len(rows),
         "distinct_sizes": len({r[6] for r in rows}),
+        "n_compiles": len(compiles),
+        "compile_secs": round(sum(compiles), 1),
         "drain_wall_secs": round(wall, 1),
         "sum_slide_secs": round(sum(secs), 1),
         "max_slide_secs": round(max(secs), 2),
