@@ -180,6 +180,27 @@ class RoiBuilder:
             return data, np.load(self.params["coor_cache"])
         return data
 
+    def readahead(self):
+        """Hint the kernel to prefetch the raw tile cache's pages.
+
+        The serving daemon's IO pipeline (train/serve.py --io_depth)
+        calls this from the producer thread so the NEXT slide's disk
+        reads overlap the CURRENT slide's device compute.
+        POSIX_FADV_WILLNEED is asynchronous and bounded by the kernel's
+        readahead budget, so a 40 GB cache cannot thrash the page cache
+        the way an eager read would. Best-effort: no-op off Linux or on
+        a missing file."""
+        if not hasattr(os, "posix_fadvise"):  # pragma: no cover
+            return
+        try:
+            fd = os.open(self.params["data_cache"], os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_WILLNEED)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
+
     def _empty_bag(self):
         res = self._resolution or EMPTY_BAG_FALLBACK_RES
         return jnp.zeros((EMPTY_BAG_TILES, res, res, 3), jnp.float32)

@@ -24,6 +24,11 @@ TPU-serving design points:
   * **compiled programs stay warm** — chunk shapes come off the bucket
     ladder, so steady-state latency after the first few slides is pure
     compute + IO, never compile;
+  * **host IO pipelines with device compute** — ``--io_depth N``
+    prepares up to N slides ahead (cache build/decode, transform
+    arming, kernel readahead on the raw cache) on a background thread
+    while the device classifies the current slide, the serving analog
+    of the training input prefetcher (data/loader.py);
   * **idempotent restarts** — processed basenames persist to
     ``processed.txt`` (append + fsync per slide), and startup reconciles
     it against ``results.csv`` rows: a slide with a results row is never
@@ -94,6 +99,12 @@ def build_argparser():
                         "member's bucket) and take the streaming path")
     p.add_argument("--mesh", default=0, type=int,
                    help="shard each chunk's tile axis over N devices")
+    p.add_argument("--io_depth", default=1, type=int,
+                   help="prepare (cache build / decode / readahead) up "
+                        "to N slides ahead on a background thread while "
+                        "the device classifies the current one — the "
+                        "serving analog of the training input pipeline; "
+                        "0 disables the overlap")
     p.add_argument("--poll_secs", default=5.0, type=float)
     p.add_argument("--settle_secs", default=2.0, type=float,
                    help="skip files modified more recently than this "
@@ -374,8 +385,37 @@ class SlideServer:
                   f"{self.GIVEUP_BACKOFF_SECS:.0f}s after {count} "
                   "failures", file=sys.stderr)
 
+    def _prepare(self, path):
+        """Host-side prep for ONE slide: builder construction, cache
+        build (decode + tissue filter), transform arming, and a kernel
+        readahead hint on the raw cache. Under ``--io_depth`` this runs
+        on the prefetch producer thread, overlapping the NEXT slide's
+        IO with the CURRENT slide's device compute — so it must not
+        write daemon state (it only reads ``self.processed``, which the
+        consumer re-checks before any artifact write). Returns
+        ``(path, name, builder, err)``; builder None with err None
+        means 'already processed, skip'."""
+        name = os.path.split(path)[1].split(".")[0]
+        try:
+            builder = self._make_builder(path)
+            if builder.getname() in self.processed:
+                return path, name, None, None
+            if ("MISSING" in builder.params["status"]
+                    and not builder.build()):
+                return path, name, None, RuntimeError("cache build failed")
+            builder.update_resolution_and_buffer(self.args.resolution)
+            builder.readahead()
+            return path, name, builder, None
+        except Exception as e:
+            return path, name, None, e
+
     def _drain(self, paths):
-        """Process one poll's backlog; returns (classified, failed)."""
+        """Process one poll's backlog; returns (classified, failed).
+
+        With ``--io_depth N`` the per-slide host prep (``_prepare``)
+        runs up to N slides ahead on a background thread
+        (data.loader.prefetch_iter) while the device classifies the
+        current slide; results land in backlog order either way."""
         done = failed = 0
         group = []  # small builders awaiting a batched forward
 
@@ -406,38 +446,32 @@ class SlideServer:
                             failed += 1
                             self._note_failure(b.getname(), e2)
 
-        for path in paths:
-            name = os.path.split(path)[1].split(".")[0]
-            builder = None
-            if self.args.batch > 1:
-                # route small slides into the batch, big ones to streaming
-                try:
-                    builder = self._make_builder(path)
-                    if builder.getname() in self.processed:
-                        continue
-                    if ("MISSING" in builder.params["status"]
-                            and not builder.build()):
-                        failed += 1
-                        self._note_failure(name)
-                        continue
-                    # strictly positive: tile-less slides go through the
-                    # serial path, whose empty fallback matches the
-                    # validation forward exactly (f32 zero bag) — the
-                    # batched program's fused transform would normalize
-                    # a uint8 zero bag to -1.0 and disagree
-                    if 0 < builder.getsize() <= self.args.batch_tile_cap:
-                        builder.update_resolution_and_buffer(
-                            self.args.resolution)
-                        group.append(builder)
-                        if len(group) >= self.args.batch:
-                            flush()
-                        continue
-                except Exception as e:
-                    failed += 1
-                    self._note_failure(name, e)
-                    continue
+        items = map(self._prepare, paths)
+        if self.args.io_depth > 0:
+            from ..data.loader import prefetch_iter
+
+            items = prefetch_iter(items, depth=self.args.io_depth)
+        for path, name, builder, err in items:
+            if err is not None:  # construction or cache build failed
+                failed += 1
+                self._note_failure(name, err)
+                continue
+            if builder is None:
+                continue  # already processed
+            # route small slides into the batch, big ones to streaming.
+            # strictly positive: tile-less slides go through the serial
+            # path, whose empty fallback matches the validation forward
+            # exactly (f32 zero bag) — the batched program's fused
+            # transform would normalize a uint8 zero bag to -1.0 and
+            # disagree
+            if (self.args.batch > 1
+                    and 0 < builder.getsize() <= self.args.batch_tile_cap):
+                group.append(builder)
+                if len(group) >= self.args.batch:
+                    flush()
+                continue
             try:  # serial path: streaming (exact for any size); reuses
-                # the builder the batch router already constructed
+                # the builder _prepare already constructed and armed
                 ok = self.process(path, builder=builder)
                 if ok is None:
                     continue

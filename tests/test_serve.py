@@ -263,6 +263,42 @@ def test_serve_batched_matches_serial(slide_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_io_pipeline_matches_serial(slide_tree, tmp_path):
+    """--io_depth N prepares slides on a background thread while the
+    device classifies the current one. Results (rows, probabilities,
+    ORDER) must match --io_depth 0 exactly, and a poison slide whose
+    cache build fails must hit the same failure accounting (nonzero rc,
+    no row) without killing its backlog-mates."""
+    tree, _ = slide_tree
+    # a slide with no prebuilt cache and unreadable bytes: _prepare's
+    # builder.build() raises on the producer thread
+    (tree / "slides" / "GHP_0_bad_H&E.scn").write_bytes(b"not a slide")
+    src = ["--watch_dir", str(tree / "slides")]
+    out0 = str(tmp_path / "depth0")
+    out3 = str(tmp_path / "depth3")
+    assert _run(src + ["--out_root", out0, "--io_depth", "0"] + COMMON) == 1
+    assert _run(src + ["--out_root", out3, "--io_depth", "3"] + COMMON) == 1
+
+    r0, r3 = _rows(out0), _rows(out3)
+    assert len(r0) == len(r3) == 3  # poison slide has no row
+    # identical slide order (prefetch preserves backlog order) and probs
+    assert [ln.split(",")[0] for ln in r0] == [ln.split(",")[0]
+                                               for ln in r3]
+    for a, b in zip(r0, r3):
+        np.testing.assert_allclose([float(p) for p in a.split(",")[1:4]],
+                                   [float(p) for p in b.split(",")[1:4]],
+                                   atol=1e-6)
+    # pipelined prep composes with --batch routing too
+    out_b = str(tmp_path / "depth2_batched")
+    assert _run(src + ["--out_root", out_b, "--io_depth", "2",
+                       "--batch", "2", "--batch_tile_cap", "30"]
+                + COMMON) == 1
+    rb = _rows(out_b)
+    assert {ln.split(",")[0] for ln in rb} == {ln.split(",")[0]
+                                               for ln in r0}
+
+
+@pytest.mark.slow
 def test_serve_batch_mesh_group_padding(slide_tree, tmp_path):
     """--batch 3 on an 8-device mesh (slides axis = 2): odd group sizes
     (3, and the tail of 1) must pad with zero bags instead of crashing
