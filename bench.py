@@ -23,6 +23,8 @@ single batch cannot amortize (see PROFILE.md). The JSON carries ``mfu``
   5  multi-slide batched throughput, bags sharded over the local mesh
   6  training step: one 5-bag accumulation window through make_train_step
   7  StyleGAN WGAN-GP training (d_step + g_step imgs/sec at 3 resolutions)
+  8  cold-cohort serving: N raw slides through the daemon (build + stream
+     + artifacts) with host prep pipelined behind device compute
 
 Reproducibility contract (VERDICT r2 weak #1): every config must finish
 --quick in ~1-2 min on the bench chip. Two mechanisms:
@@ -815,6 +817,89 @@ def bench_gan_train(quick: bool, no_baseline: bool = False):
               **({"baseline_source": src} if src else {}))
 
 
+def bench_serve_cohort(quick: bool, no_baseline: bool = False):
+    """BASELINE config 8: end-to-end COLD-cohort serving slides/min — N
+    raw slides drained through the daemon (train/serve.py): tile-cache
+    build (decode + tissue filter) -> streaming extract -> pool ->
+    results.csv + .dla maps per slide, with slide k+1's host prep
+    pipelined behind slide k's device compute (--io_depth,
+    tools/exp_serve_io.py). This measures the 'slides/min' north star at
+    the SERVICE boundary (config 3 measures one slide at the library
+    boundary, serial build+infer). Baseline: the reference-style serial
+    torch-CPU per-slide path — config 3's recorded build+transform+
+    forward seconds on the same slide shape."""
+    import contextlib
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        slide_io,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        serve,
+    )
+
+    platform = jax.devices()[0].platform
+    small = platform == "cpu"
+    mode = "quick" if (quick or small) else "full"
+    if small:
+        n, size, roi, res, arch = 3, 600, 128, 64, "tiny"
+    elif quick:  # same shapes as full (shared compiles), smaller cohort
+        n, size, roi, res, arch = 3, 6000, 1200, TILE_RES, "full"
+    else:
+        n, size, roi, res, arch = 6, 6000, 1200, TILE_RES, "full"
+    rng = np.random.default_rng(0)
+    base_rgb = np.array([140, 60, 170], np.int16)
+
+    def write_slide(dirname, name):
+        img = np.clip(base_rgb + rng.integers(-40, 40, (size, size, 3)),
+                      0, 255).astype(np.uint8)
+        slide_io.write_synthetic_slide(os.path.join(dirname, name), img)
+
+    def make_server(watch, cache, out, io_depth):
+        os.makedirs(cache, exist_ok=True)
+        os.environ["CACHE_DIR"] = cache
+        argv = ["--watch_dir", watch, "--out_root", out,
+                "--arch", arch, "--resolution", str(res),
+                "--roi_size", str(roi), "--settle_secs", "0",
+                "--io_depth", str(io_depth), "--once"]
+        return serve.SlideServer(serve.build_argparser().parse_args(argv))
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        slides = os.path.join(tmpdir, "slides")
+        os.makedirs(slides)
+        for i in range(n):
+            write_slide(slides, f"GHP_{i:03d}_A_H&E.npy")
+        warm = os.path.join(tmpdir, "warm")
+        os.makedirs(warm)
+        write_slide(warm, "GHP_999_W_H&E.npy")
+        # daemon prints ride stderr: stdout carries only the JSON line
+        with contextlib.redirect_stdout(sys.stderr):
+            # warmup slide compiles the streaming chunk/pool programs so
+            # the timed drain measures steady-state serving, not compiles
+            _progress("config 8: warmup slide (compiles)")
+            srv = make_server(warm, os.path.join(tmpdir, "warm_cache"),
+                              os.path.join(tmpdir, "warm_out"), 0)
+            srv._drain(srv.pending())
+            _progress(f"config 8: draining {n}-slide cold cohort "
+                      "(io_depth 2)")
+            srv = make_server(slides, os.path.join(tmpdir, "cache"),
+                              os.path.join(tmpdir, "out"), 2)
+            t0 = time.perf_counter()
+            done, failed = srv._drain(srv.pending())
+            dt = time.perf_counter() - t0
+        assert done == n and failed == 0, (done, failed)
+    slides_per_min = 60.0 * n / dt
+    torch_secs, src = _baseline("3", _record_slide_baseline,
+                                quick=quick or small,
+                                no_baseline=no_baseline)
+    vs = (slides_per_min / (60.0 / torch_secs)
+          if torch_secs and not small else None)
+    _emit("serve_cold_cohort_slides_per_min", slides_per_min,
+          f"slides/min ({n} cold {size}px slides via the daemon: cache "
+          f"build + streaming infer + csv/.dla, io_depth=2, {platform})",
+          vs, mode=mode, small=small, io_depth=2,
+          **({"baseline_source": src} if src else {}))
+
+
 def record_baselines(configs=None):
     """Measure every torch-CPU baseline at FULL shapes and write
     BASELINE_MEASURED.json (used by --quick and --no-baseline). Hours of
@@ -877,7 +962,7 @@ def _record_slide_baseline() -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--config", type=int, default=1, choices=range(1, 8))
+    ap.add_argument("--config", type=int, default=1, choices=range(1, 9))
     ap.add_argument("--all", action="store_true",
                     help="run every config (one JSON line each)")
     ap.add_argument("--no-baseline", action="store_true",
@@ -897,7 +982,7 @@ def main():
         return
     benches = [bench_resnet_forward, bench_bag_inference, bench_full_slide,
                bench_heatmap_export, bench_multislide_sharded,
-               bench_train_step, bench_gan_train]
+               bench_train_step, bench_gan_train, bench_serve_cohort]
     if args.int8:
         if args.all or args.config != 1:
             ap.error("--int8 applies to config 1 only (not --all); "
