@@ -1,0 +1,315 @@
+"""AOT deployment bundles: ship compiled serving programs, not Python.
+
+``export_serving_bundle`` serializes the two streaming-inference
+programs — the fused uint8-transform→ResNet-26 extractor at every chunk
+shape the streaming loop can mint, and the bucketed masked attention
+pool — to StableHLO via ``jax.export``, next to the weights
+(checkpoint .model format) and a JSON manifest. A serving host then
+classifies slides through ``DeployedClassifier`` with NO model-building
+code on the import path: the programs are data, the weights are data,
+and the host-side loop (chunking, padding, assembly, softmax) is ~50
+lines of numpy. This is the TPU-native analog of the torch ecosystem's
+TorchScript/ONNX export, which the reference lacks entirely (its
+deployment story is "run classify_combined.py --interface",
+gbm/classify_combined.py:221-298).
+
+Why it matters for production: the training/serving skew surface
+shrinks to a directory of immutable artifacts; model-code upgrades
+cannot silently change a deployed classifier; and the compile happens
+at EXPORT time semantics-wise — the target host just lowers the
+embedded StableHLO (multi-platform bundles cover cpu+tpu hosts).
+
+Exported programs take the weights as ARGUMENTS, so a re-trained
+checkpoint with identical shapes reuses the same bundle programs via
+``swap_weights``.
+
+CLI::
+
+    python -m ...deploy export --ckpt run/train_step-340.model \
+        --out bundle/ [--tiles 4096] [--platforms cpu,tpu]
+    python -m ...deploy run --bundle bundle/ --slide GHP_x.npy
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import attention_mil as amil
+
+MANIFEST = "manifest.json"
+WEIGHTS = "weights.model"
+BUNDLE_VERSION = 1
+
+
+def _spec_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        tree)
+
+
+def _program_shapes(chunk: int, tiles: int, n_dev: int = 1):
+    """The exact (extractor chunk shapes, pool bucket sizes) the
+    streaming loop can mint for slides up to ``tiles`` tiles — shared
+    arithmetic with serve --prewarm (parallel/inference.py)."""
+    from .data.loader import DEFAULT_BUCKETS, bucket_for
+    from .parallel.inference import streaming_chunk_for
+
+    candidates = (*DEFAULT_BUCKETS, tiles,
+                  *range(DEFAULT_BUCKETS[-1] + 1, tiles + 1, 1024))
+    chunks = sorted({streaming_chunk_for(v, chunk, n_dev)
+                     for v in candidates if bucket_for(v) <= bucket_for(tiles)})
+    pools = sorted({bucket_for(t) for t in candidates
+                    if bucket_for(t) <= bucket_for(tiles)})
+    return chunks, pools
+
+
+def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
+                          resolution: int = 300, roi_size: int = 1200,
+                          chunk: int = 1024, tiles: int = 4096,
+                          platforms=None) -> dict:
+    """Serialize the streaming serving programs + weights + manifest.
+
+    Returns the manifest dict. ``platforms=None`` lowers for the current
+    backend only; pass e.g. ``("cpu", "tpu")`` for a bundle that serves
+    on either host type."""
+    from jax import export as jexport
+
+    from .parallel import inference
+    from .train import checkpoint
+
+    os.makedirs(out_dir, exist_ok=True)
+    chunks, pools = _program_shapes(chunk, tiles)
+
+    extract = inference._cached_transform_extract(cfg, jnp.bfloat16,
+                                                  resolution)
+    pool = inference._cached_pool(cfg)
+    cnn_spec = _spec_tree(params["cnn"])
+    params_spec = _spec_tree(params)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+
+    files = {}
+    for b in chunks:
+        exp = jexport.export(extract, **kw)(
+            cnn_spec, jax.ShapeDtypeStruct((b, roi_size, roi_size, 3),
+                                           jnp.uint8))
+        name = f"extract_{b}.shlo"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        files[f"extract/{b}"] = name
+    for t in pools:
+        exp = jexport.export(pool, **kw)(
+            params_spec, jax.ShapeDtypeStruct((t, cfg.L), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
+        name = f"pool_{t}.shlo"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        files[f"pool/{t}"] = name
+
+    checkpoint.save(os.path.join(out_dir, WEIGHTS), params)
+    manifest = {
+        "bundle_version": BUNDLE_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms) if platforms
+        else [jax.default_backend()],
+        "resolution": resolution, "roi_size": roi_size,
+        "chunk": chunk, "max_tiles": tiles,
+        "chunk_shapes": chunks, "pool_buckets": pools,
+        "feature_dim": cfg.L, "n_classes": cfg.n_classes,
+        "config": dataclasses.asdict(cfg),
+        "programs": files,
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _unflatten(flat: dict):
+    """Rebuild the exact init_attention_mil pytree from '/'-joined keys
+    (checkpoint._flatten's inverse): dicts for named nodes, LISTS for
+    all-digit key groups (the resnet 'stages' nesting) — the treedef
+    must match export-time params or Exported.call rejects the args."""
+    tree = {}
+    for key in sorted(flat):
+        parts = key.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(flat[key])
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[k] for k in sorted(node, key=int)]
+        return node
+
+    return listify(tree)
+
+
+class DeployedClassifier:
+    """Streaming slide classification from a bundle directory alone.
+
+    Mirrors ``parallel.inference.classify_slide_streaming``'s host loop
+    (chunk off the ladder, pad, extract, host-assemble, bucketed masked
+    pool, host softmax) with the two device programs coming from the
+    serialized StableHLO instead of the model code. Slides above
+    ``max_tiles`` raise — export with a larger ``--tiles``."""
+
+    def __init__(self, bundle_dir: str):
+        from jax import export as jexport
+
+        from .train import checkpoint
+
+        with open(os.path.join(bundle_dir, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["bundle_version"] != BUNDLE_VERSION:
+            raise ValueError(
+                f"bundle version {self.manifest['bundle_version']} != "
+                f"supported {BUNDLE_VERSION}")
+        blob = checkpoint.load_raw(os.path.join(bundle_dir, WEIGHTS))
+        self.params = _unflatten(
+            {k[len("classifier/"):]: v for k, v in blob.items()
+             if k.startswith("classifier/")})
+        self._extract, self._pool = {}, {}
+        for key, name in self.manifest["programs"].items():
+            kind, size = key.split("/")
+            with open(os.path.join(bundle_dir, name), "rb") as f:
+                prog = jexport.deserialize(f.read())
+            (self._extract if kind == "extract" else self._pool)[
+                int(size)] = prog
+
+    def classify(self, raw_tiles: np.ndarray):
+        """[T, roi, roi, 3] uint8 -> (probs [n_classes], outs dict)."""
+        from .data.loader import bucket_for
+        from .parallel.inference import streaming_chunk_for
+
+        T = int(raw_tiles.shape[0])
+        if T == 0:
+            raise ValueError("deploy bundles serve tiled slides only; "
+                             "a tile-less slide has no exported program "
+                             "(the library's zero-bag fallback needs the "
+                             "one-pass forward)")
+        if T > self.manifest["max_tiles"]:
+            raise ValueError(f"slide has {T} tiles > bundle max_tiles "
+                             f"{self.manifest['max_tiles']}; re-export "
+                             "with a larger --tiles")
+        chunk = streaming_chunk_for(T, self.manifest["chunk"], 1)
+        extract = self._extract[chunk]
+        cnn = self.params["cnn"]
+        feats = []
+        for start in range(0, T, chunk):
+            part = np.asarray(raw_tiles[start:start + chunk])
+            valid = part.shape[0]
+            if valid < chunk:
+                part = np.pad(part, [(0, chunk - valid)] + [(0, 0)] * 3)
+            feats.append((extract.call(cnn, part), valid))
+        H = np.concatenate([np.asarray(f)[:v] for f, v in feats], axis=0)
+        Tb = bucket_for(T)
+        Hp = H
+        if Tb > T:
+            Hp = np.zeros((Tb, H.shape[1]), H.dtype)
+            Hp[:T] = H
+        pooled = self._pool[Tb].call(self.params, jnp.asarray(Hp),
+                                     jnp.int32(T))
+        pooled = {k: np.asarray(v) for k, v in pooled.items()}
+        z = pooled["logits"].astype(np.float32)
+        z = np.exp(z - z.max(axis=1, keepdims=True))
+        probs = z / z.sum(axis=1, keepdims=True)
+        outs = {**pooled, "Aterm": pooled["Aterm"][:, :T],
+                "y_pred": probs, "y_pred_hat": int(np.argmax(probs)),
+                "Fterm": H}
+        return probs.ravel(), outs
+
+    def classify_builder(self, builder, *, mmap: bool = True):
+        """RoiBuilder -> (probs, outs, coords); resolution comes from the
+        bundle (the transform is baked into the extractor program)."""
+        raw, coords = builder._load_cache(with_coords=True, mmap=mmap)
+        probs, outs = self.classify(raw)
+        return probs, outs, coords
+
+    def swap_weights(self, params):
+        """Point the bundle at a re-trained pytree of identical shapes
+        (programs take weights as arguments, so no re-export needed)."""
+        jax.tree_util.tree_map(
+            lambda a, b: None if np.shape(a) == np.shape(b) else
+            (_ for _ in ()).throw(ValueError("shape mismatch")),
+            self.params, params)
+        self.params = params
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="AOT serving bundles")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pe = sub.add_parser("export")
+    pe.add_argument("--ckpt", default=None,
+                    help=".model checkpoint (random init with a warning "
+                         "if unset — smoke tests only)")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--arch", default="full", choices=["full", "tiny"])
+    pe.add_argument("--resolution", default=300, type=int)
+    pe.add_argument("--roi_size", default=1200, type=int)
+    pe.add_argument("--chunk", default=1024, type=int)
+    pe.add_argument("--tiles", default=4096, type=int)
+    pe.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. cpu,tpu "
+                         "(default: current backend)")
+    pe.add_argument("--seed", default=0, type=int)
+    pr = sub.add_parser("run")
+    pr.add_argument("--bundle", required=True)
+    pr.add_argument("--slide", required=True)
+    args = p.parse_args(argv)
+
+    if args.cmd == "export":
+        from .train import checkpoint
+        from .train.classify import make_config
+
+        cfg = make_config(args)
+        params = amil.init_attention_mil(jax.random.PRNGKey(args.seed), cfg)
+        if args.ckpt:
+            params, loaded, skipped = checkpoint.restore_params(
+                params, args.ckpt)
+            print(f"deploy: loaded {len(loaded)} tensors "
+                  f"({len(skipped)} skipped) from {args.ckpt}")
+        else:
+            print("deploy: WARNING — no --ckpt, exporting random weights "
+                  "(smoke-test mode)")
+        platforms = (tuple(s.strip() for s in args.platforms.split(","))
+                     if args.platforms else None)
+        manifest = export_serving_bundle(
+            params, cfg, args.out, resolution=args.resolution,
+            roi_size=args.roi_size, chunk=args.chunk, tiles=args.tiles,
+            platforms=platforms)
+        n = len(manifest["programs"])
+        print(f"deploy: exported {n} programs "
+              f"(chunks {manifest['chunk_shapes']}, "
+              f"pools {manifest['pool_buckets']}) -> {args.out}")
+        return 0
+
+    from .data.roibuilder import RoiBuilder
+
+    clf = DeployedClassifier(args.bundle)
+    builder = RoiBuilder(args.slide,
+                         {"roi_size": clf.manifest["roi_size"]})
+    if "MISSING" in builder.params["status"] and not builder.build():
+        print(f"deploy: cache build failed for {args.slide}",
+              file=sys.stderr)
+        return 1
+    builder.update_resolution_and_buffer(clf.manifest["resolution"])
+    probs, outs, _ = clf.classify_builder(builder)
+    print(json.dumps({"name": builder.getname(),
+                      "probs": [round(float(x), 6) for x in probs],
+                      "pred": int(outs["y_pred_hat"]),
+                      "ntiles": builder.getsize()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
