@@ -73,7 +73,8 @@ def _program_shapes(chunk: int, tiles: int, n_dev: int = 1):
 def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
                           resolution: int = 300, roi_size: int = 1200,
                           chunk: int = 1024, tiles: int = 4096,
-                          platforms=None) -> dict:
+                          platforms=None, compute_dtype=jnp.bfloat16
+                          ) -> dict:
     """Serialize the streaming serving programs + weights + manifest.
 
     Returns the manifest dict. ``platforms=None`` lowers for the current
@@ -87,7 +88,7 @@ def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     chunks, pools = _program_shapes(chunk, tiles)
 
-    extract = inference._cached_transform_extract(cfg, jnp.bfloat16,
+    extract = inference._cached_transform_extract(cfg, compute_dtype,
                                                   resolution)
     pool = inference._cached_pool(cfg)
     cnn_spec = _spec_tree(params["cnn"])
@@ -119,6 +120,7 @@ def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
         "platforms": list(platforms) if platforms
         else [jax.default_backend()],
         "resolution": resolution, "roi_size": roi_size,
+        "compute_dtype": jnp.dtype(compute_dtype).name,
         "chunk": chunk, "max_tiles": tiles,
         "chunk_shapes": chunks, "pool_buckets": pools,
         "feature_dim": cfg.L, "n_classes": cfg.n_classes,
@@ -261,6 +263,8 @@ def main(argv=None) -> int:
     pe.add_argument("--platforms", default=None,
                     help="comma-separated lowering targets, e.g. cpu,tpu "
                          "(default: current backend)")
+    pe.add_argument("--f32", action="store_true",
+                    help="trace the extractor at f32 instead of bf16")
     pe.add_argument("--seed", default=0, type=int)
     pr = sub.add_parser("run")
     pr.add_argument("--bundle", required=True)
@@ -286,7 +290,8 @@ def main(argv=None) -> int:
         manifest = export_serving_bundle(
             params, cfg, args.out, resolution=args.resolution,
             roi_size=args.roi_size, chunk=args.chunk, tiles=args.tiles,
-            platforms=platforms)
+            platforms=platforms,
+            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
         n = len(manifest["programs"])
         print(f"deploy: exported {n} programs "
               f"(chunks {manifest['chunk_shapes']}, "

@@ -29,6 +29,10 @@ TPU-serving design points:
     arming, kernel readahead on the raw cache) on a background thread
     while the device classifies the current slide, the serving analog
     of the training input prefetcher (data/loader.py);
+  * **AOT mode** — ``--bundle DIR`` serves a deploy.py export: programs
+    and weights come from the serialized bundle, no model is built in
+    the daemon process, and ``--prewarm`` warms every bundle program
+    before slide 1;
   * **idempotent restarts** — processed basenames persist to
     ``processed.txt`` (append + fsync per slide), and startup reconciles
     it against ``results.csv`` rows: a slide with a results row is never
@@ -84,6 +88,13 @@ def build_argparser():
     p.add_argument("--int8", action="store_true",
                    help="serve the W8A8 int8 extractor (ops/quant.py); "
                         "activation scales calibrate on the first slide")
+    p.add_argument("--bundle", default=None,
+                   help="serve from an AOT deployment bundle (deploy.py "
+                        "export): programs and weights come from the "
+                        "bundle, no model is built and --ckpt is ignored; "
+                        "resolution/roi_size follow the bundle manifest. "
+                        "Mutually exclusive with --int8/--batch/--mesh "
+                        "(those recompose the live program)")
     p.add_argument("--int8_calib", default=256, type=int)
     p.add_argument("--chunk", default=1024, type=int,
                    help="streaming chunk (tiles per dispatch)")
@@ -136,16 +147,38 @@ class SlideServer:
 
         import jax
 
-        params = amil.init_attention_mil(jax.random.PRNGKey(args.seed),
-                                         self.cfg)
-        if args.ckpt:
-            params, loaded, skipped = checkpoint.restore_params(
-                params, args.ckpt)
-            print(f"serve: loaded {len(loaded)} tensors "
-                  f"({len(skipped)} skipped) from {args.ckpt}")
+        self.bundle = None
+        if args.bundle:
+            if args.int8 or args.batch > 1 or args.mesh:
+                raise SystemExit(
+                    "serve: --bundle serves the exported programs as-is; "
+                    "--int8/--batch/--mesh recompose the live program and "
+                    "cannot apply — re-export a bundle with the variant "
+                    "you need")
+            from .. import deploy
+
+            self.bundle = deploy.DeployedClassifier(args.bundle)
+            m = self.bundle.manifest
+            # builder prep (tiling, eval transform resolution) must match
+            # what the exported extractor program was traced for
+            args.resolution = int(m["resolution"])
+            args.roi_size = int(m["roi_size"])
+            params = None
+            print(f"serve: AOT bundle {args.bundle} "
+                  f"({len(m['programs'])} programs, res {m['resolution']}, "
+                  f"roi {m['roi_size']}, max_tiles {m['max_tiles']})"
+                  + ("; --ckpt ignored" if args.ckpt else ""))
         else:
-            print("serve: WARNING — no --ckpt, classifying with random "
-                  "weights (smoke-test mode)")
+            params = amil.init_attention_mil(jax.random.PRNGKey(args.seed),
+                                             self.cfg)
+            if args.ckpt:
+                params, loaded, skipped = checkpoint.restore_params(
+                    params, args.ckpt)
+                print(f"serve: loaded {len(loaded)} tensors "
+                      f"({len(skipped)} skipped) from {args.ckpt}")
+            else:
+                print("serve: WARNING — no --ckpt, classifying with random "
+                      "weights (smoke-test mode)")
         self.params = params
 
         self.mesh = None
@@ -250,13 +283,22 @@ class SlideServer:
                       file=sys.stderr)
                 return False
         builder.update_resolution_and_buffer(self.args.resolution)
-        self._ensure_int8(builder)
-
-        probs, outs, raster = inference.classify_slide_streaming(
-            self.params, self.cfg, builder,
-            resolution=self.args.resolution, chunk=self.args.chunk,
-            compute_dtype=self.compute_dtype, mesh=self.mesh,
-            transform_extract=self._transform_extract)
+        if self.bundle is not None:
+            # AOT mode: the exported programs have no zero-bag fallback
+            # (that path needs the one-pass forward) — fail loudly, the
+            # retry/backoff machinery reports it like any bad slide
+            if builder.getsize() == 0:
+                print(f"serve: {name}: tile-less slide — AOT bundles "
+                      "serve tiled slides only, skipped", file=sys.stderr)
+                return False
+            probs, outs, raster = self.bundle.classify_builder(builder)
+        else:
+            self._ensure_int8(builder)
+            probs, outs, raster = inference.classify_slide_streaming(
+                self.params, self.cfg, builder,
+                resolution=self.args.resolution, chunk=self.args.chunk,
+                compute_dtype=self.compute_dtype, mesh=self.mesh,
+                transform_extract=self._transform_extract)
         T = raster.shape[0]
         helpers.write_map(builder.getmeta(), 0, np.asarray(raster),
                           np.asarray(outs["Aterm"])[:, :T],
@@ -493,6 +535,27 @@ class SlideServer:
         if not tiles:
             return
         import jax
+
+        if self.bundle is not None:
+            # AOT mode: deserialized programs still lower+compile on
+            # their first .call — warm every program in the bundle with
+            # zeros so slide 1 pays compute, not compile
+            t0 = time.perf_counter()
+            roi = self.args.roi_size
+            cnn = self.bundle.params["cnn"]
+            for b, prog in self.bundle._extract.items():
+                jax.block_until_ready(
+                    prog.call(cnn, np.zeros((b, roi, roi, 3), np.uint8)))
+            L = int(self.bundle.manifest["feature_dim"])
+            for t, prog in self.bundle._pool.items():
+                jax.block_until_ready(
+                    prog.call(self.bundle.params,
+                              jnp.zeros((t, L)), jnp.int32(t)))
+            print(f"serve: prewarm done (bundle: "
+                  f"{len(self.bundle._extract)} extractor + "
+                  f"{len(self.bundle._pool)} pool programs, "
+                  f"{time.perf_counter() - t0:.1f}s)", flush=True)
+            return
 
         from ..data.loader import DEFAULT_BUCKETS, bucket_for
         from ..data.roibuilder import ROI_SIZE

@@ -299,6 +299,55 @@ def test_serve_io_pipeline_matches_serial(slide_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_bundle_matches_streaming(slide_tree, tmp_path):
+    """--bundle serves the AOT export (deploy.py): same rows/probs as
+    the live streaming daemon with the same (seed-0) weights, model
+    builders never called in the daemon path, tile-less slides fail
+    loudly instead of silently diverging from the zero-bag fallback."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu import (
+        deploy,
+    )
+
+    tree, add_slide = slide_tree
+    cache = tree / "cache"
+    (tree / "slides" / "ZZZ_empty_H&E.scn").write_bytes(b"fake")
+    np.save(cache / "data_ZZZ_empty_H&E_rois_size32_hsvcut_v3.npy",
+            np.zeros((0, 32, 32, 3), np.uint8))
+    np.save(cache / "coor_ZZZ_empty_H&E_rois_size32_hsvcut_v3.npy",
+            np.zeros((0, 2), np.int64))
+    bundle = str(tmp_path / "bundle")
+    assert deploy.main(["export", "--out", bundle, "--arch", "tiny",
+                        "--resolution", "16", "--roi_size", "32",
+                        "--chunk", "16", "--tiles", "64", "--f32"]) == 0
+
+    src = ["--watch_dir", str(tree / "slides")]
+    out_s = str(tmp_path / "serial")
+    out_b = str(tmp_path / "aot")
+    # streaming daemon classifies the empty slide (zero-bag fallback);
+    # bundle daemon must FAIL it (rc 1) and classify everything else
+    assert _run(src + ["--out_root", out_s] + COMMON) == 0
+    assert _run(src + ["--out_root", out_b, "--bundle", bundle,
+                       "--prewarm", "32"] + COMMON) == 1
+
+    def parse(out):
+        return {ln.split(",")[0]: [float(p) for p in ln.split(",")[1:4]]
+                for ln in _rows(out)}
+
+    rs, rb = parse(out_s), parse(out_b)
+    assert set(rs) - set(rb) == {"ZZZ_empty_H&E"}
+    for name in rb:
+        np.testing.assert_allclose(rb[name], rs[name], atol=1e-4)
+    # same .dla artifacts for the slides both served
+    dlas_b = {f for f in os.listdir(out_b) if f.endswith(".dla")}
+    assert dlas_b and dlas_b <= {f for f in os.listdir(out_s)
+                                 if f.endswith(".dla")}
+    # incompatible recomposition flags are rejected up-front
+    with pytest.raises(SystemExit):
+        _run(src + ["--out_root", str(tmp_path / "x"), "--bundle", bundle,
+                    "--int8"] + COMMON)
+
+
+@pytest.mark.slow
 def test_serve_batch_mesh_group_padding(slide_tree, tmp_path):
     """--batch 3 on an 8-device mesh (slides axis = 2): odd group sizes
     (3, and the tail of 1) must pad with zero bags instead of crashing
