@@ -91,21 +91,30 @@ def _measured_baselines() -> dict:
         return {}
 
 
+_BASELINE_MEMO: dict = {}
+
+
 def _baseline(key: str, runner, *, quick: bool, no_baseline: bool):
     """(baseline value, source) for a config. quick / --no-baseline read
     the committed per-host measurement instead of re-running torch (the
     torch replica at full shapes costs minutes per config on the 1-CPU
-    bench host — the reason quick mode historically never finished)."""
+    bench host — the reason quick mode historically never finished).
+    Measured values memoize in-process: in a full `--all` sweep config 8
+    reuses config 3's torch baseline instead of re-running it."""
     if quick or no_baseline:
         rec = _measured_baselines().get("configs", {}).get(key)
         if rec:
             return float(rec["value"]), "cached"
         return None, None
+    if key in _BASELINE_MEMO:
+        return _BASELINE_MEMO[key], "measured"
     try:
-        return float(runner()), "measured"
+        value = float(runner())
     except Exception as e:  # torch missing / OOM: run benches baseline-less
         print(f"# baseline {key} failed: {e}", file=sys.stderr)
         return None, None
+    _BASELINE_MEMO[key] = value
+    return value, "measured"
 
 
 def _progress(msg: str):

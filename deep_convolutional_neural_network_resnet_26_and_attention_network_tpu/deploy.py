@@ -56,18 +56,11 @@ def _spec_tree(tree):
 
 def _program_shapes(chunk: int, tiles: int, n_dev: int = 1):
     """The exact (extractor chunk shapes, pool bucket sizes) the
-    streaming loop can mint for slides up to ``tiles`` tiles — shared
-    arithmetic with serve --prewarm (parallel/inference.py)."""
-    from .data.loader import DEFAULT_BUCKETS, bucket_for
-    from .parallel.inference import streaming_chunk_for
+    streaming loop can mint for slides up to ``tiles`` tiles — THE shared
+    enumeration (parallel/inference.py), same one serve --prewarm uses."""
+    from .parallel.inference import streaming_program_shapes
 
-    candidates = (*DEFAULT_BUCKETS, tiles,
-                  *range(DEFAULT_BUCKETS[-1] + 1, tiles + 1, 1024))
-    chunks = sorted({streaming_chunk_for(v, chunk, n_dev)
-                     for v in candidates if bucket_for(v) <= bucket_for(tiles)})
-    pools = sorted({bucket_for(t) for t in candidates
-                    if bucket_for(t) <= bucket_for(tiles)})
-    return chunks, pools
+    return streaming_program_shapes(chunk, tiles, n_dev)
 
 
 def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
@@ -176,6 +169,17 @@ class DeployedClassifier:
             raise ValueError(
                 f"bundle version {self.manifest['bundle_version']} != "
                 f"supported {BUNDLE_VERSION}")
+        # fail at LOAD time on a platform-mismatched bundle: without this
+        # a tpu-only bundle on a cpu host starts serving and every slide
+        # dies with a low-level jax.export platform error deep in the
+        # drain loop's retry/backoff
+        backend = jax.default_backend()
+        plats = self.manifest.get("platforms") or []
+        if plats and backend not in plats:
+            raise ValueError(
+                f"bundle was lowered for platforms {plats} but the "
+                f"current backend is {backend!r}; re-export with "
+                f"--platforms {','.join(sorted({*plats, backend}))}")
         blob = checkpoint.load_raw(os.path.join(bundle_dir, WEIGHTS))
         self.params = _unflatten(
             {k[len("classifier/"):]: v for k, v in blob.items()
@@ -189,10 +193,14 @@ class DeployedClassifier:
                 int(size)] = prog
 
     def classify(self, raw_tiles: np.ndarray):
-        """[T, roi, roi, 3] uint8 -> (probs [n_classes], outs dict)."""
-        from .data.loader import bucket_for
-        from .parallel.inference import streaming_chunk_for
+        """[T, roi, roi, 3] uint8 -> (probs [n_classes], outs dict).
 
+        Program selection reads the MANIFEST's recorded shape lists, not
+        the live library's bucket ladder: a bundle must keep serving
+        after a library upgrade that tweaks ``DEFAULT_BUCKETS`` (the
+        exported programs are immutable; choosing the smallest recorded
+        shape that fits reproduces the export-time arithmetic exactly
+        when the ladders agree and stays total when they don't)."""
         T = int(raw_tiles.shape[0])
         if T == 0:
             raise ValueError("deploy bundles serve tiled slides only; "
@@ -203,7 +211,8 @@ class DeployedClassifier:
             raise ValueError(f"slide has {T} tiles > bundle max_tiles "
                              f"{self.manifest['max_tiles']}; re-export "
                              "with a larger --tiles")
-        chunk = streaming_chunk_for(T, self.manifest["chunk"], 1)
+        chunks = sorted(self._extract)
+        chunk = next((c for c in chunks if c >= T), chunks[-1])
         extract = self._extract[chunk]
         cnn = self.params["cnn"]
         feats = []
@@ -214,7 +223,8 @@ class DeployedClassifier:
                 part = np.pad(part, [(0, chunk - valid)] + [(0, 0)] * 3)
             feats.append((extract.call(cnn, part), valid))
         H = np.concatenate([np.asarray(f)[:v] for f, v in feats], axis=0)
-        Tb = bucket_for(T)
+        pools = sorted(self._pool)
+        Tb = next(b for b in pools if b >= T)  # exists: T <= max_tiles
         Hp = H
         if Tb > T:
             Hp = np.zeros((Tb, H.shape[1]), H.dtype)
@@ -222,12 +232,16 @@ class DeployedClassifier:
         pooled = self._pool[Tb].call(self.params, jnp.asarray(Hp),
                                      jnp.int32(T))
         pooled = {k: np.asarray(v) for k, v in pooled.items()}
+        # exact-T output contract, same as classify_slide_streaming:
+        # consumers zip Aterm/wROIs/Bterm against the T-row coords raster
+        pooled = {**pooled, "Aterm": pooled["Aterm"][:, :T],
+                  "wROIs": pooled["wROIs"][:, :T],
+                  "Bterm": pooled["Bterm"][:T]}
         z = pooled["logits"].astype(np.float32)
         z = np.exp(z - z.max(axis=1, keepdims=True))
         probs = z / z.sum(axis=1, keepdims=True)
-        outs = {**pooled, "Aterm": pooled["Aterm"][:, :T],
-                "y_pred": probs, "y_pred_hat": int(np.argmax(probs)),
-                "Fterm": H}
+        outs = {**pooled, "y_pred": probs,
+                "y_pred_hat": int(np.argmax(probs)), "Fterm": H}
         return probs.ravel(), outs
 
     def classify_builder(self, builder, *, mmap: bool = True):
@@ -256,6 +270,10 @@ def main(argv=None) -> int:
                          "if unset — smoke tests only)")
     pe.add_argument("--out", required=True)
     pe.add_argument("--arch", default="full", choices=["full", "tiny"])
+    pe.add_argument("--stem", default="conv7", choices=["conv7", "s2d"],
+                    help="s2d = space-to-depth stem fast path (identical "
+                         "math, faster TPU ingest — see PROFILE.md); "
+                         "baked into the exported extractor programs")
     pe.add_argument("--resolution", default=300, type=int)
     pe.add_argument("--roi_size", default=1200, type=int)
     pe.add_argument("--chunk", default=1024, type=int)
@@ -308,7 +326,11 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
     builder.update_resolution_and_buffer(clf.manifest["resolution"])
-    probs, outs, _ = clf.classify_builder(builder)
+    try:
+        probs, outs, _ = clf.classify_builder(builder)
+    except ValueError as e:  # tile-less slide / over max_tiles
+        print(f"deploy: {e}", file=sys.stderr)
+        return 1
     print(json.dumps({"name": builder.getname(),
                       "probs": [round(float(x), 6) for x in probs],
                       "pred": int(outs["y_pred_hat"]),

@@ -128,6 +128,28 @@ def streaming_chunk_for(n_tiles: int, chunk: int, n_dev: int = 1) -> int:
     return chunk
 
 
+def streaming_program_shapes(chunk: int, tiles: int, n_dev: int = 1):
+    """(extractor chunk shapes, pool bucket sizes) the streaming loop can
+    mint for slides up to ``tiles`` tiles: ladder buckets below the user
+    chunk (small slides clamp to their bucket) plus every 1024-granule up
+    to ``tiles`` (slides above the ladder top stream/pool at
+    granule-rounded sizes). THE single source of this enumeration —
+    serve ``--prewarm`` and ``deploy`` bundle export both consume it, so
+    the prewarmed / exported program sets cannot drift from the shapes
+    the request path actually compiles."""
+    from ..data.loader import DEFAULT_BUCKETS, bucket_for
+
+    lid = bucket_for(tiles)
+    candidates = [v for v in (*DEFAULT_BUCKETS, tiles,
+                              *range(DEFAULT_BUCKETS[-1] + 1, tiles + 1,
+                                     1024))
+                  if bucket_for(v) <= lid]
+    chunks = sorted({streaming_chunk_for(v, chunk, n_dev)
+                     for v in candidates})
+    pools = sorted({bucket_for(t) for t in candidates})
+    return chunks, pools
+
+
 def classify_slide(params, cfg: amil.MILConfig, builder, *,
                    resolution: int = 300, compute_dtype=jnp.bfloat16,
                    use_pallas_pool: bool | None = None):

@@ -557,12 +557,16 @@ class SlideServer:
                   f"{time.perf_counter() - t0:.1f}s)", flush=True)
             return
 
-        from ..data.loader import DEFAULT_BUCKETS, bucket_for
         from ..data.roibuilder import ROI_SIZE
 
         roi = self.args.roi_size or ROI_SIZE
         n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
         t0 = time.perf_counter()
+        # THE shared enumeration (parallel/inference.py) — same arithmetic
+        # deploy-bundle export uses, so prewarm/export/request-path shapes
+        # cannot drift apart
+        chunk_shapes, pool_buckets = inference.streaming_program_shapes(
+            self.args.chunk, tiles, n_dev)
 
         # streaming extractor: one program per chunk shape the streaming
         # loop can mint — ladder buckets below --chunk (small slides
@@ -587,16 +591,9 @@ class SlideServer:
                 cnn = inference._replicated_tree(cnn, self.mesh)
                 sharding = M.tile_stream_sharding(self.mesh)
             # exactly the shapes classify_slide_streaming mints for
-            # T <= TILES — via the SHARED helper, over the same candidate
-            # sizes the pool ladder enumerates (ladder buckets plus every
-            # 1024-granule up to TILES: a 3000-tile slide under
-            # --chunk 4096 streams at chunk 3072, which only the granule
-            # candidates produce)
-            chunk_buckets = sorted(
-                {inference.streaming_chunk_for(v, self.args.chunk, n_dev)
-                 for v in (*DEFAULT_BUCKETS, tiles,
-                           *range(DEFAULT_BUCKETS[-1] + 1, tiles + 1, 1024))
-                 if bucket_for(v) <= bucket_for(tiles)})
+            # T <= TILES (a 3000-tile slide under --chunk 4096 streams at
+            # chunk 3072, which only the granule candidates produce)
+            chunk_buckets = chunk_shapes
             for b in chunk_buckets:
                 part = np.zeros((b, roi, roi, 3), np.uint8)
                 part = (jax.device_put(part, sharding)
@@ -608,11 +605,6 @@ class SlideServer:
         # plus every 1024-granule up to TILES (slides above 2560 tiles
         # pool at granule-rounded sizes; see data.loader.bucket_for)
         pool = inference._cached_pool(self.cfg)
-        pool_buckets = sorted(
-            {bucket_for(t)
-             for t in (*DEFAULT_BUCKETS, tiles,
-                       *range(DEFAULT_BUCKETS[-1] + 1, tiles + 1, 1024))
-             if bucket_for(t) <= bucket_for(tiles)})
         for b in pool_buckets:
             jax.block_until_ready(
                 pool(self.params, jnp.zeros((b, self.cfg.L)), jnp.int32(b)))

@@ -112,6 +112,39 @@ def test_bundle_guards(bundle):
         deploy.DeployedClassifier(out)
 
 
+def test_bundle_survives_ladder_drift(bundle, monkeypatch):
+    """Program selection must read the MANIFEST's recorded shapes, not
+    the live library's bucket ladder: a library upgrade that tweaks
+    DEFAULT_BUCKETS must not KeyError existing bundles."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        loader,
+    )
+
+    out, params, manifest = bundle
+    clf = deploy.DeployedClassifier(out)
+    # a "future" ladder that shares no values with the export-time one
+    monkeypatch.setattr(loader, "DEFAULT_BUCKETS", (24, 48, 96))
+    for T in (5, 17, 41, 64):  # below chunk, off-ladder, multi-chunk, max
+        probs, outs = clf.classify(_tiles(T, seed=T))
+        assert abs(probs.sum() - 1.0) < 1e-5
+        # exact-T output contract (same as classify_slide_streaming)
+        assert outs["Aterm"].shape[1] == T
+        assert outs["wROIs"].shape[1] == T
+        assert outs["Bterm"].shape[0] == T
+
+
+def test_bundle_platform_gate(bundle):
+    """A platform-mismatched bundle fails at LOAD, not per-slide in the
+    serve drain loop."""
+    out, _, _ = bundle
+    mpath = os.path.join(out, deploy.MANIFEST)
+    m = json.load(open(mpath))
+    m["platforms"] = ["nonexistent_backend"]
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="lowered for platforms"):
+        deploy.DeployedClassifier(out)
+
+
 def test_swap_weights(bundle):
     """Re-trained same-shape weights reuse the programs; wrong shapes
     are rejected."""
