@@ -252,12 +252,20 @@ class DeployedClassifier:
         return probs, outs, coords
 
     def swap_weights(self, params):
-        """Point the bundle at a re-trained pytree of identical shapes
-        (programs take weights as arguments, so no re-export needed)."""
-        jax.tree_util.tree_map(
-            lambda a, b: None if np.shape(a) == np.shape(b) else
-            (_ for _ in ()).throw(ValueError("shape mismatch")),
-            self.params, params)
+        """Point the bundle at a re-trained pytree of identical
+        shapes/dtypes (programs take weights as arguments, so no
+        re-export needed). Dtype is part of the traced signature: a bf16
+        pytree against f32-exported programs would otherwise fail deep in
+        Exported.call instead of here."""
+        def check(a, b):
+            if (np.shape(a) != np.shape(b)
+                    or np.asarray(a).dtype != np.asarray(b).dtype):
+                raise ValueError(
+                    f"swap_weights: leaf {np.shape(b)}/"
+                    f"{np.asarray(b).dtype} does not match bundle "
+                    f"{np.shape(a)}/{np.asarray(a).dtype}")
+
+        jax.tree_util.tree_map(check, self.params, params)
         self.params = params
 
 

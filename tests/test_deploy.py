@@ -161,6 +161,13 @@ def test_swap_weights(bundle):
         amil.MILConfig(widths=(4, 4, 4, 4), blocks=(1, 1, 1, 1)))
     with pytest.raises(Exception):
         clf.swap_weights(wrong)
+    # dtype is part of the traced signature — reject before Exported.call
+    import jax.numpy as jnp
+
+    bf16 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    with pytest.raises(ValueError, match="does not match bundle"):
+        clf.swap_weights(bf16)
 
 
 @pytest.mark.slow
