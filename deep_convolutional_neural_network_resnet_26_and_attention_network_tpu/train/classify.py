@@ -364,6 +364,14 @@ class Driver:
         epoch_stats["train_kld"] = sums["kld"] / n
         epoch_stats["train_err"] = sums["error"] / n
         epoch_stats["train_secs"] = dt
+        # legacy-generation summary keys: the root plot script reads both
+        # unconditionally (plot_gbm_metrics.py:55-56) even though the live
+        # reference driver stopped writing them — emit compat values so
+        # that script runs unchanged on our run dirs. train_sum = epoch
+        # total (un-averaged) loss; model_temp = the legacy Attention
+        # temperature default (gbm/classify.py:366, params={'temp': 0.0}).
+        epoch_stats["train_sum"] = sums["loss"]
+        epoch_stats["model_temp"] = 0.0
         epoch_stats["model_mean_weights"] = \
             helpers.get_layer_weight_summary_mean(self.state.params)
         epoch_stats["model_max_weights"] = \
@@ -463,6 +471,9 @@ class Driver:
         epoch_stats["train_kld"] = float(fetched["KLD"].sum()) / n
         epoch_stats["train_err"] = float(fetched["error"].sum()) / n
         epoch_stats["train_secs"] = dt
+        # legacy compat keys — see the single-device branch for rationale
+        epoch_stats["train_sum"] = float(fetched["loss"].sum())
+        epoch_stats["model_temp"] = 0.0
         epoch_stats["model_mean_weights"] = \
             helpers.get_layer_weight_summary_mean(self.state.params)
         epoch_stats["model_max_weights"] = \
