@@ -174,12 +174,18 @@ class DeployedClassifier:
         # dies with a low-level jax.export platform error deep in the
         # drain loop's retry/backoff
         backend = jax.default_backend()
+        # jax.default_backend() says 'gpu' while jax.export platform
+        # names are 'cuda'/'rocm': a cuda-exported bundle must load on
+        # the matching gpu host, and the re-export hint must only ever
+        # suggest canonical jax.export names ('gpu' is not one)
+        matching = {"gpu": {"cuda", "rocm", "gpu"}}.get(backend, {backend})
         plats = self.manifest.get("platforms") or []
-        if plats and backend not in plats:
+        if plats and not (matching & set(plats)):
+            canonical = {"gpu": "cuda"}.get(backend, backend)
             raise ValueError(
                 f"bundle was lowered for platforms {plats} but the "
                 f"current backend is {backend!r}; re-export with "
-                f"--platforms {','.join(sorted({*plats, backend}))}")
+                f"--platforms {','.join(sorted({*plats, canonical}))}")
         blob = checkpoint.load_raw(os.path.join(bundle_dir, WEIGHTS))
         self.params = _unflatten(
             {k[len("classifier/"):]: v for k, v in blob.items()

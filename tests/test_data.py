@@ -848,6 +848,62 @@ def test_real_tifffile_subifd_container(tmp_path):
     np.testing.assert_array_equal(out, full)
 
 
+def test_read_pil_multiframe_largest_selection(tmp_path, monkeypatch):
+    """_read_pil must pick the LARGEST frame of a multi-page TIFF, not
+    frame 0 (largest-series semantics, reference: RoiBuilder.py:139-147).
+    PIL is installed everywhere, so this real-container path executes in
+    CI even on hosts without tifffile."""
+    rng = np.random.default_rng(6)
+    small = rng.integers(0, 255, (32, 48, 3), np.uint8)
+    big = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    mid = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    path = str(tmp_path / "multi.tif")
+    Image.fromarray(small).save(
+        path, save_all=True,
+        append_images=[Image.fromarray(big), Image.fromarray(mid)])
+    out = slide_io._read_pil(path)
+    np.testing.assert_array_equal(out, big)
+    # through the public entry with neither tifffile nor openslide
+    monkeypatch.setattr(slide_io, "_tifffile", None)
+    monkeypatch.setattr(slide_io, "_openslide", None)
+    np.testing.assert_array_equal(slide_io.read_slide(path), big)
+    # single-frame containers keep working through the same path
+    single = str(tmp_path / "single.tif")
+    Image.fromarray(mid).save(single)
+    np.testing.assert_array_equal(slide_io.read_slide(single), mid)
+
+
+def test_roibuilder_container_build_equals_npy_build(tmp_path, cache_dir,
+                                                     monkeypatch):
+    """RoiBuilder.build from a real multi-page TIFF container must emit a
+    tile cache IDENTICAL to building from the equivalent .npy dump: the
+    reader is the only difference, and the pyramid's smaller levels must
+    not leak into the raster scan (reference: RoiBuilder.py:139-167)."""
+    monkeypatch.setattr(slide_io, "_tifffile", None)  # exercise PIL path
+    monkeypatch.setattr(slide_io, "_openslide", None)
+    rng = np.random.default_rng(7)
+    slide = _synthetic_slide(rng, size=256)
+    pyramid = [slide, slide[::2, ::2], slide[::4, ::4]]
+
+    tif_path = str(tmp_path / "GHP_9_A_HE.tif")
+    # full plane deliberately NOT first: largest-frame selection matters
+    Image.fromarray(pyramid[1]).save(
+        tif_path, save_all=True,
+        append_images=[Image.fromarray(pyramid[0]),
+                       Image.fromarray(pyramid[2])])
+    npy_path = str(tmp_path / "GHP_9_A_HE_npy.npy")
+    np.save(npy_path, slide)
+
+    bt = roibuilder.RoiBuilder(tif_path, {"roi_size": 64})
+    bn = roibuilder.RoiBuilder(npy_path, {"roi_size": 64})
+    assert bt.build() and bn.build()
+    assert bt.getsize() == bn.getsize() > 0
+    np.testing.assert_array_equal(np.load(bt.params["data_cache"]),
+                                  np.load(bn.params["data_cache"]))
+    np.testing.assert_array_equal(np.load(bt.params["coor_cache"]),
+                                  np.load(bn.params["coor_cache"]))
+
+
 class _FakeOpenSlideModule:
     class OpenSlideError(Exception):
         pass

@@ -115,15 +115,26 @@ def test_bundle_guards(bundle):
 def test_bundle_survives_ladder_drift(bundle, monkeypatch):
     """Program selection must read the MANIFEST's recorded shapes, not
     the live library's bucket ladder: a library upgrade that tweaks
-    DEFAULT_BUCKETS must not KeyError existing bundles."""
+    the ladder must not KeyError existing bundles. Patching the
+    CONSTANT is not enough (bucket_for binds DEFAULT_BUCKETS as a
+    def-time default), so poison the behavior itself: any call into
+    the live ladder helpers during bundle classify fails the test."""
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
         loader,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        inference,
     )
 
     out, params, manifest = bundle
     clf = deploy.DeployedClassifier(out)
-    # a "future" ladder that shares no values with the export-time one
-    monkeypatch.setattr(loader, "DEFAULT_BUCKETS", (24, 48, 96))
+
+    def poisoned(*a, **k):
+        raise AssertionError("bundle classify consulted the live bucket "
+                             "ladder instead of the manifest")
+
+    monkeypatch.setattr(loader, "bucket_for", poisoned)
+    monkeypatch.setattr(inference, "streaming_chunk_for", poisoned)
     for T in (5, 17, 41, 64):  # below chunk, off-ladder, multi-chunk, max
         probs, outs = clf.classify(_tiles(T, seed=T))
         assert abs(probs.sum() - 1.0) < 1e-5
