@@ -14,6 +14,13 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# fresh-interpreter subprocesses (one runs a full 4-device dryrun compile):
+# packaging/driver contracts, not numerics — slow tier, like the other
+# subprocess-based CLI drives
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _PROBE = r"""

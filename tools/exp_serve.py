@@ -60,8 +60,13 @@ def build_cohort(root: str, n_slides: int, ntiles: int, roi: int,
     return slides
 
 
+_PKG = "deep_convolutional_neural_network_resnet_26_and_attention_network_tpu"
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def run_variant(tag: str, slides_dir: str, out_root: str, args,
-                extra: list[str], group: int = 1) -> dict:
+                extra: list[str], group: int = 1,
+                subproc_env: dict | None = None) -> dict:
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (  # noqa: E501
         serve,
     )
@@ -71,7 +76,20 @@ def run_variant(tag: str, slides_dir: str, out_root: str, args,
             "--roi_size", str(args.roi), "--chunk", str(args.chunk),
             "--once", "--settle_secs", "0", "--seed", "0"] + extra
     t0 = time.perf_counter()
-    rc = serve.main(argv)
+    if subproc_env is not None:
+        # fresh-host variants run in their OWN interpreter: in-process
+        # runs would share jit program caches with earlier variants and
+        # understate the live path's fresh-host trace+lower cost (the
+        # exact cost AOT bundles exist to remove)
+        import subprocess
+
+        env = dict(os.environ, **subproc_env)
+        env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-m", f"{_PKG}.train.serve"] + argv, env=env)
+        rc = proc.returncode
+    else:
+        rc = serve.main(argv)
     wall = time.perf_counter() - t0
     csv_path = os.path.join(out_root, "results.csv")
     rows = []
@@ -121,6 +139,16 @@ def main(argv=None) -> int:
     p.add_argument("--batch", default=8, type=int,
                    help="group size for the batched variant (0 = skip)")
     p.add_argument("--skip_int8", action="store_true")
+    p.add_argument("--bundle", action="store_true",
+                   help="add the fresh-host A/B: export an AOT bundle, "
+                        "then drain the cohort via `serve --bundle` and "
+                        "via the live jit path, each in its own "
+                        "interpreter with the persistent compilation "
+                        "cache disabled — measures exactly the "
+                        "trace/lower cost AOT serving claims to remove")
+    p.add_argument("--skip_live", action="store_true",
+                   help="with --bundle: skip the live fresh-host variant "
+                        "(the full-width live compile costs minutes)")
     p.add_argument("--keep", default=None,
                    help="reuse/keep this cohort+output dir")
     p.add_argument("--cpu", action="store_true",
@@ -141,13 +169,38 @@ def main(argv=None) -> int:
         print(f"WARNING: {args.slides} slides not divisible by batch "
               f"{args.batch} — the tail group compiles a second program "
               "and pollutes the batched warm median", file=sys.stderr)
+    results = []
+    if args.bundle:
+        from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu import (  # noqa: E501
+            deploy,
+        )
+
+        bundle_dir = os.path.join(root, "bundle")
+        t0 = time.perf_counter()
+        rc = deploy.main([
+            "export", "--out", bundle_dir, "--arch", args.arch,
+            "--resolution", str(args.res), "--roi_size", str(args.roi),
+            "--chunk", str(args.chunk),
+            "--tiles", str(max(args.tiles, args.chunk))])
+        export_secs = time.perf_counter() - t0
+        print(json.dumps({"variant": "bundle_export", "rc": rc,
+                          "export_secs": round(export_secs, 2)}),
+              flush=True)
+        fresh = {"JAX_DISABLE_PERSISTENT_CACHE": "1"}
+        fresh_variants = [("bundle_fresh_host",
+                           ["--bundle", bundle_dir], 1)]
+        if not args.skip_live:
+            fresh_variants.append(("live_fresh_host", [], 1))
+        for tag, extra, group in fresh_variants:
+            out_root = os.path.join(root, f"out_{tag}")
+            results.append(run_variant(tag, slides_dir, out_root, args,
+                                       extra, group, subproc_env=fresh))
     variants = [("serial_bf16", [], 1)]
     if args.batch:
         variants.append((f"batched_x{args.batch}",
                          ["--batch", str(args.batch)], args.batch))
     if not args.skip_int8:
         variants.append(("serial_int8", ["--int8"], 1))
-    results = []
     for tag, extra, group in variants:
         out_root = os.path.join(root, f"out_{tag}")
         results.append(

@@ -21,7 +21,11 @@ structure the data carries. Pass criteria:
 
 Run (TPU, ~5-10 min incl. compile):
     python tools/gan_convergence_run.py
-    python tools/gan_convergence_run.py --tiny --epochs 2   # CPU smoke
+    python tools/gan_convergence_run.py --max_res 16        # crosses the
+        # 8->16 progressive-growing transition with alpha fade-in and
+        # judges the band metric at 16px (records res_transitions and the
+        # pre-transition distance so the fade's survival is visible)
+    python tools/gan_convergence_run.py --tiny --epochs 2   # smoke
 Numbers land in PROFILE.md ("GAN convergence run").
 """
 
@@ -100,6 +104,14 @@ def generate(params, n, step, code_size, width, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=8)
+    ap.add_argument("--max_res", type=int, default=None,
+                    help="final resolution; > --res trains ACROSS the "
+                         "progressive-growing transition(s) with alpha "
+                         "fade-in (reference: style-...-512/train.py:48-68)"
+                         " and judges convergence at this resolution")
+    ap.add_argument("--step_every", type=int, default=None,
+                    help="epochs per resolution step (default: split the "
+                         "epoch budget evenly across the resolutions)")
     ap.add_argument("--n_images", type=int, default=2048)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=64)
@@ -110,6 +122,10 @@ def main():
                     help="keep run artifacts in this dir (default: tmp)")
     args = ap.parse_args()
     width = (1 / 16) if args.tiny else args.width
+    max_res = args.max_res or args.res
+    assert max_res >= args.res
+    n_res = int(np.log2(max_res)) - int(np.log2(args.res)) + 1
+    step_every = args.step_every or max(args.epochs // n_res, 1)
 
     from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (  # noqa: E501
         gan_dataset,
@@ -126,18 +142,18 @@ def main():
     img_dir = os.path.join(workdir, "imgs")
     store = os.path.join(workdir, "store")
     out = os.path.join(workdir, "run")
-    step = int(np.log2(args.res)) - 2
+    step = int(np.log2(max_res)) - 2  # judge at the FINAL resolution
 
     print(f"# workdir {workdir}")
-    make_dataset(img_dir, args.n_images, 4 * args.res)
+    make_dataset(img_dir, args.n_images, 4 * max_res)
     gan_dataset._main(["--src", img_dir, "--out", store,
-                       "--max-size", str(args.res), "--seed", "0"])
+                       "--max-size", str(max_res), "--seed", "0"])
 
-    # real-data contrast from the store's images at the training res
+    # real-data contrast from the store's images at the judging res
     from PIL import Image
 
     real = np.stack([
-        np.asarray(Image.open(p).resize((args.res, args.res)),
+        np.asarray(Image.open(p).resize((max_res, max_res)),
                    np.float32) / 127.5 - 1.0
         for p in sorted(glob.glob(os.path.join(img_dir, "*.png")))[:512]])
     s_real = band_stats(real)
@@ -149,10 +165,17 @@ def main():
     d_init = float(np.abs(band_stats(init_imgs) - s_real).mean())
     c_init = band_contrast(init_imgs)
 
+    # phase = half an epoch's samples: the alpha fade-in completes inside
+    # each post-transition epoch (used_sample resets per epoch — the
+    # reference's saw-tooth, see train/gan.py:434-438 — so a larger phase
+    # would keep the new resolution's layers permanently half-blended)
     t0 = time.time()
     rc = gan.main(["--data_dir", store, "--output_dir", out,
-                   "--init_size", str(args.res), "--max_size", str(args.res),
-                   "--phase", str(max(args.n_images * 2, 4000)),
+                   "--init_size", str(args.res), "--max_size", str(max_res),
+                   "--step_every", str(step_every),
+                   "--phase", str(max(args.n_images // 2, 512)
+                                  if max_res > args.res
+                                  else max(args.n_images * 2, 4000)),
                    "--epochs", str(args.epochs),
                    "--batch_override", str(args.batch),
                    "--width_mult", str(width), "--seed", "1"])
@@ -178,8 +201,17 @@ def main():
 
     d_gen = dist["generator"]
     converged = bool(d_gen < 0.15 and d_gen < 0.5 * d_init)
-    print(json.dumps({
-        "converged": converged, "res": args.res, "width_mult": width,
+
+    init_step_ = int(np.log2(args.res)) - 2
+    max_step_ = step
+    res_seq = [min(init_step_ + e // step_every, max_step_)
+               for e in range(args.epochs)]
+    res_transitions = sum(a != b for a, b in zip(res_seq, res_seq[1:]))
+
+    record = {
+        "converged": converged, "res": args.res, "max_res": max_res,
+        "res_transitions": res_transitions, "step_every": step_every,
+        "width_mult": width,
         "epochs": args.epochs, "samples": args.n_images * args.epochs,
         "band_dist_init": round(d_init, 4),
         "band_dist_generator": round(d_gen, 4),
@@ -188,7 +220,34 @@ def main():
         "band_contrast_init": round(c_init, 4),
         "band_contrast_generator": round(contrast["generator"], 4),
         "train_wall_secs": round(wall, 1), "ckpt": last,
-    }))
+    }
+
+    if res_transitions:
+        # "the band metric survives the fade": also judge the checkpoint
+        # from the LAST pre-transition epoch at the starting resolution,
+        # so the record shows learned-before-fade vs learned-after-fade
+        pre_ep = step_every - 1
+        pre_path = os.path.join(out, "checkpoint",
+                                f"train_step-{pre_ep}.model")
+        if os.path.exists(pre_path):
+            with np.load(pre_path, allow_pickle=False) as z:
+                pre_blob = {k: z[k] for k in z.files}
+            pre_tree, loaded, total = gan.restore_section(
+                template, pre_blob, "generator")
+            assert loaded == total
+            pre_imgs = generate(pre_tree, 256, init_step_, 512, width,
+                                seed=7)
+            pre_real = np.stack([
+                np.asarray(Image.open(p).resize((args.res, args.res)),
+                           np.float32) / 127.5 - 1.0
+                for p in sorted(glob.glob(
+                    os.path.join(img_dir, "*.png")))[:512]])
+            record["band_dist_pre_transition"] = round(float(
+                np.abs(band_stats(pre_imgs) - band_stats(pre_real)).mean()),
+                4)
+            record["pre_transition_epoch"] = pre_ep
+
+    print(json.dumps(record))
     return 0 if converged else 1
 
 
