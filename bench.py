@@ -743,8 +743,10 @@ def bench_train_step(quick: bool, no_baseline: bool = False):
 # reference per-resolution schedule (train.py:61) divided by its 4-way
 # DataParallel — the per-GPU share is the honest single-chip comparison
 # (and 256px at the full 128 does not fit one v5e's 16 GB next to the
-# WGAN-GP double-backward graph).
-GAN_BENCH_POINTS = ((8, 1, 64), (64, 4, 64), (256, 6, 32))
+# WGAN-GP double-backward graph). 512 runs at batch 8: the measured HBM
+# boundary (tools/exp_gan512.py, GAN512_r04.jsonl) is between 8 and 16
+# in f32 — batch 16 OOMs, batch 8 fits with the full GP double-backward.
+GAN_BENCH_POINTS = ((8, 1, 64), (64, 4, 64), (256, 6, 32), (512, 7, 8))
 
 
 def _torch_gan_baseline(res: int, step: int) -> float:
@@ -800,10 +802,7 @@ def bench_gan_train(quick: bool, no_baseline: bool = False):
     opt_g = tx.init(params_g)
     opt_d = tx.init(params_d)
 
-    for res, step, batch in points:
-        if small:
-            batch = min(batch, 8)
-        _progress(f"config 7: res {res} batch {batch} compiling d/g steps")
+    def measure(res, step, batch):
         d_step = gan.make_d_step(step, width_mult=width,
                                  from_rgb_activate=True, tx=tx)
         g_step = gan.make_g_step(step, width_mult=width,
@@ -840,16 +839,47 @@ def bench_gan_train(quick: bool, no_baseline: bool = False):
         for rep in range(iters):
             pd, od, pg, og, ema, dt = run_iter(pd, od, pg, og, ema, rep)
             times.append(dt)
-        imgs_per_sec = batch / float(np.median(times))
+        return batch / float(np.median(times))
+
+    for res, step, batch in points:
+        if small:
+            batch = min(batch, 8)
+        _progress(f"config 7: res {res} batch {batch} compiling d/g steps")
+        # No in-process OOM retry: after one RESOURCE_EXHAUSTED this
+        # backend's client poisons every subsequent call in the process
+        # (measured — batch 16 compiled 2.5 min then OOM'd, batches
+        # 8/4/2/1 all "failed" within the same second). Emit a boundary
+        # row and keep the sweep alive; probe boundaries with the
+        # subprocess-isolated tools/exp_gan512.py instead.
+        try:
+            imgs_per_sec = measure(res, step, batch)
+        except Exception as e:  # noqa: BLE001 - repr-match OOM only
+            msg = str(e)
+            if ("RESOURCE_EXHAUSTED" not in msg
+                    and "out of memory" not in msg.lower()):
+                raise
+            _progress(f"config 7: res {res} batch {batch} OOM — "
+                      f"recording boundary row, skipping retries "
+                      f"({msg.splitlines()[0][:120]})")
+            _emit("stylegan_train_imgs_per_sec", 0.0,
+                  f"imgs/sec (res {res}, batch {batch} OOM on this chip, "
+                  f"width x{width}, {platform})", None, mode=mode,
+                  small=small, resolution=res, oom_batch=batch,
+                  note=("full-width WGAN-GP OOM at this (res, batch); "
+                        "later configs in the sweep may be unreliable in "
+                        "this process — re-probe boundaries with "
+                        "tools/exp_gan512.py (subprocess-isolated); "
+                        "mitigations: smaller batch, --dtype bf16, or "
+                        "--mesh data-parallel (SCALING.md)"))
+            continue
         base_v, src = _baseline(
             f"7@{res}", lambda r=res, s=step: _torch_gan_baseline(r, s),
             quick=quick or small, no_baseline=no_baseline)
+        extra = dict(mode=mode, small=small, resolution=res, **src)
         vs = imgs_per_sec / base_v if base_v and not small else None
         _emit("stylegan_train_imgs_per_sec", imgs_per_sec,
               f"imgs/sec (res {res}, batch {batch}, f32 wgan-gp d+g step, "
-              f"width x{width}, {platform})", vs, mode=mode, small=small,
-              resolution=res,
-              **src)
+              f"width x{width}, {platform})", vs, **extra)
 
 
 def bench_serve_cohort(quick: bool, no_baseline: bool = False):
@@ -964,7 +994,10 @@ def record_baselines(configs=None):
             f"imgs/sec (torch-cpu full-width wgan-gp d+g at {res}px)",
             lambda r=res, s=step: _torch_gan_baseline(r, s))
     for key, (unit, run) in runners.items():
-        if configs and key.split("@")[0] not in configs:
+        # accept both whole configs ("7") and exact keys ("7@512") — the
+        # latter adds one new point without re-truing siblings' numbers
+        if configs and key not in configs \
+                and key.split("@")[0] not in configs:
             continue
         _progress(f"baseline {key}: measuring")
         t0 = time.perf_counter()
