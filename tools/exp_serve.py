@@ -190,7 +190,15 @@ def main(argv=None) -> int:
         fresh_variants = [("bundle_fresh_host",
                            ["--bundle", bundle_dir], 1)]
         if not args.skip_live:
+            # prewarm doesn't remove the fresh-host jit cost, it moves it
+            # ahead of slide 1 — measuring both live variants shows how
+            # much of the cold_first_slide figure is compile (prewarm
+            # shifts it into drain_wall) vs genuine slide work, and what
+            # the bundle actually saves
             fresh_variants.append(("live_fresh_host", [], 1))
+            fresh_variants.append(
+                ("live_fresh_host_prewarm",
+                 ["--prewarm", str(max(args.tiles, args.chunk))], 1))
         for tag, extra, group in fresh_variants:
             out_root = os.path.join(root, f"out_{tag}")
             results.append(run_variant(tag, slides_dir, out_root, args,
