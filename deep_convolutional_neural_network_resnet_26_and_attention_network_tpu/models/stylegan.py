@@ -255,10 +255,15 @@ def init_generator(key, *, style_dim=512, width_mult=1.0, fused=True):
 
 
 def apply_generator(params, styles, noise, *, step=0, alpha=-1.0,
-                    style_sel=None, width_mult=1.0):
+                    style_sel=None, width_mult=1.0, remat=False):
     """styles: [S, B, D] stacked mapped styles; noise: list of [B, s, s, 1];
     style_sel: [n_blocks] int indices into S (style mixing crossover,
     host-computed like reference model.py:419-434). Returns [B, s, s, 3].
+
+    ``remat``: checkpoint each styled-conv block (sequential-segment
+    rematerialization) so the backward retains only block-boundary
+    activations plus one block's internals at a time — the knob that
+    lifts the high-res HBM boundary (GAN512_r04.jsonl). Values unchanged.
     """
     layout = _gen_layout(width_mult)
     if not 0 <= step < len(layout):
@@ -275,8 +280,11 @@ def apply_generator(params, styles, noise, *, step=0, alpha=-1.0,
         if i > 0 and step > 0:
             out_prev = out
         x_in = noise[0] if i == 0 else out
-        out = apply_styled_conv_block(block, x_in, style_i, noise[i],
-                                      padding=pad, upsample=up, fused=fz)
+        block_fn = partial(apply_styled_conv_block, padding=pad,
+                           upsample=up, fused=fz)
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        out = block_fn(block, x_in, style_i, noise[i])
         if i == step:
             rgb = equal_conv2d(out, params["to_rgb"][i]["w"],
                                params["to_rgb"][i]["b"])
@@ -321,7 +329,7 @@ def mean_style(params, z):
 
 def apply_styled_generator(params, zs, noise, *, step=0, alpha=-1.0,
                            style_sel=None, mean_style_w=None,
-                           style_weight=0.0, width_mult=1.0):
+                           style_weight=0.0, width_mult=1.0, remat=False):
     """zs: [S, B, D] latent codes (S=1 normal, S=2 mixing). Styles pass the
     mapping MLP; optional truncation toward mean_style_w
     (reference: model.py:465-496)."""
@@ -330,7 +338,7 @@ def apply_styled_generator(params, zs, noise, *, step=0, alpha=-1.0,
         styles = mean_style_w + style_weight * (styles - mean_style_w)
     return apply_generator(params["generator"], styles, noise, step=step,
                            alpha=alpha, style_sel=style_sel,
-                           width_mult=width_mult)
+                           width_mult=width_mult, remat=remat)
 
 
 def make_noise(key, batch: int, step: int):
@@ -430,8 +438,13 @@ def minibatch_stddev(x, eps=1e-8):
 
 def apply_discriminator(params, x, *, step=0, alpha=-1.0, width_mult=1.0,
                         from_rgb_activate=True, train: bool = False,
-                        rng=None):
-    """x: [B, s, s, 3] at resolution 4*2^step (reference: model.py:551-580)."""
+                        rng=None, remat=False):
+    """x: [B, s, s, 3] at resolution 4*2^step (reference: model.py:551-580).
+
+    ``remat``: checkpoint each progression block so the backward —
+    including the WGAN-GP double-backward, whose inner-grad residuals
+    dominate HBM at high resolution — retains only block boundaries and
+    recomputes one block's internals at a time. Values unchanged."""
     layout, _ = _disc_layout(width_mult)
     n_layer = len(layout)
     out = None
@@ -449,8 +462,10 @@ def apply_discriminator(params, x, *, step=0, alpha=-1.0, width_mult=1.0,
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        out = _disc_conv_block(params["progression"][index], out, spec,
-                               train=train, rng=sub)
+        block_fn = partial(_disc_conv_block, spec=spec, train=train)
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        out = block_fn(params["progression"][index], out, rng=sub)
         if i > 0 and i == step:
             a = jnp.clip(jnp.where(jnp.asarray(alpha) < 0, 1.0, alpha),
                          0.0, 1.0)

@@ -67,20 +67,16 @@ def _cast_tree(tree, dtype):
         else x, tree)
 
 
-def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
-                loss_kind: str = "wgan-gp", tx=None, compute_dtype=None):
-    """``loss_kind`` only switches the GENERATOR objective: the vendored
-    reference has no discriminator-side r1 branch (train.py:99-132 guards
-    every D term with ``loss == 'wgan-gp'``; only the G loss at :150-153
-    switches to softplus) — under --loss r1 the reference's D trains with
-    the WGAN-GP critic loss, and we keep that quirk for parity.
+def make_d_loss(step: int, *, width_mult: float, from_rgb_activate: bool,
+                compute_dtype=None, remat: bool = False):
+    """Build the WGAN-GP critic loss closure (exposed so tests and
+    accumulation paths can differentiate it directly)."""
 
-    ``compute_dtype`` (opt-in, e.g. jnp.bfloat16) runs G/D forwards and
-    backwards in mixed precision: params/activations cast at loss entry,
-    master params + Adam state + loss terms + the gradient-penalty norm
-    stay f32 (the sqrt of a sum of squares is the one numerically fragile
-    piece). f32 remains the default — reference parity."""
-    tx = tx or make_optimizers(0.001)
+    def _apply_d(params_d, x, alpha, rng):
+        return sg.apply_discriminator(
+            params_d, x, step=step, alpha=alpha, width_mult=width_mult,
+            from_rgb_activate=from_rgb_activate, train=True, rng=rng,
+            remat=remat)
 
     def d_loss_fn(params_d, params_g, real, zs, sel, alpha, rng):
         if compute_dtype is not None:
@@ -90,9 +86,7 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
             zs = zs.astype(compute_dtype)
             alpha = jnp.asarray(alpha, compute_dtype)
         r_drop, r_noise, r_eps, r_drop2, r_drop3 = jax.random.split(rng, 5)
-        real_predict = sg.apply_discriminator(
-            params_d, real, step=step, alpha=alpha, width_mult=width_mult,
-            from_rgb_activate=from_rgb_activate, train=True, rng=r_drop)
+        real_predict = _apply_d(params_d, real, alpha, r_drop)
         real_predict = real_predict.astype(jnp.float32)
         real_term = real_predict.mean() - 0.001 * (real_predict ** 2).mean()
 
@@ -103,9 +97,7 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
             params_g, zs, noise, step=step, alpha=alpha, style_sel=sel,
             width_mult=width_mult)
         fake = jax.lax.stop_gradient(fake)
-        fake_predict = sg.apply_discriminator(
-            params_d, fake, step=step, alpha=alpha, width_mult=width_mult,
-            from_rgb_activate=from_rgb_activate, train=True, rng=r_drop2)
+        fake_predict = _apply_d(params_d, fake, alpha, r_drop2)
         fake_term = fake_predict.astype(jnp.float32).mean()
 
         # gradient penalty on the real/fake interpolate
@@ -115,10 +107,8 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
         x_hat = eps * real + (1 - eps) * fake
 
         def d_sum(xh):
-            return sg.apply_discriminator(
-                params_d, xh, step=step, alpha=alpha, width_mult=width_mult,
-                from_rgb_activate=from_rgb_activate, train=True,
-                rng=r_drop3).astype(jnp.float32).sum()
+            return _apply_d(params_d, xh, alpha,
+                            r_drop3).astype(jnp.float32).sum()
 
         grad_x_hat = jax.grad(d_sum)(x_hat).astype(jnp.float32)
         norms = jnp.sqrt(
@@ -130,9 +120,97 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
                "grad_penalty": grad_penalty}
         return loss, aux
 
+    return d_loss_fn
+
+
+def _microbatch(x, n: int, axis: int = 0):
+    """[.., B, ..] -> [n, .., B/n, ..] with the accumulation axis first."""
+    if x.shape[axis] % n:
+        raise ValueError(
+            f"batch {x.shape[axis]} not divisible by grad_accum {n}")
+    mb = x.shape[axis] // n
+    split = x.reshape(*x.shape[:axis], n, mb, *x.shape[axis + 1:])
+    return jnp.moveaxis(split, axis, 0)
+
+
+def _accum_grads(loss_fn, params, n: int, scan_args, static_args):
+    """Average value_and_grad of ``loss_fn`` over ``n`` microbatches via
+    lax.scan: peak HBM = ONE microbatch's working set + a params-sized
+    accumulator, the single-chip analog of the reference's
+    nn.DataParallel per-GPU shares (train.py:61 batch schedule / 4
+    GPUs). Exact for every batch-mean loss term incl. the per-sample GP
+    norm; minibatch_stddev sees the microbatch — the same statistics the
+    reference's per-GPU split produces."""
+
+    def body(carry, xs):
+        gacc, aux_acc = carry
+        (_, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, *static_args(xs))
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+        aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux)
+        return (gacc, aux_acc), None
+
+    zeros_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    # trace one microbatch to shape the aux accumulator without running it
+    aux0 = jax.eval_shape(
+        lambda: loss_fn(params, *static_args(
+            jax.tree_util.tree_map(lambda x: x[0], scan_args)))[1])
+    zeros_aux = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), aux0)
+    (gsum, aux_sum), _ = jax.lax.scan(body, (zeros_g, zeros_aux), scan_args)
+    inv = 1.0 / n
+    return (jax.tree_util.tree_map(lambda x: x * inv, gsum),
+            jax.tree_util.tree_map(lambda x: x * inv, aux_sum))
+
+
+def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
+                loss_kind: str = "wgan-gp", tx=None, compute_dtype=None,
+                remat: bool = False, grad_accum: int = 1):
+    """``loss_kind`` only switches the GENERATOR objective: the vendored
+    reference has no discriminator-side r1 branch (train.py:99-132 guards
+    every D term with ``loss == 'wgan-gp'``; only the G loss at :150-153
+    switches to softplus) — under --loss r1 the reference's D trains with
+    the WGAN-GP critic loss, and we keep that quirk for parity.
+
+    ``compute_dtype`` (opt-in, e.g. jnp.bfloat16) runs G/D forwards and
+    backwards in mixed precision: params/activations cast at loss entry,
+    master params + Adam state + loss terms + the gradient-penalty norm
+    stay f32 (the sqrt of a sum of squares is the one numerically fragile
+    piece). f32 remains the default — reference parity.
+
+    ``remat`` (opt-in) checkpoints every progression block
+    (stylegan.apply_*(remat=True)). Measured on v5e (GAN512_r04.jsonl):
+    it does NOT move the WGAN-GP OOM boundary — XLA's own HLO
+    rematerializer already fires at these sizes and the binding
+    constraint is the double-backward conv temps — and costs ~22%
+    imgs/s where both fit. Kept as an implemented-and-measured knob;
+    prefer ``grad_accum``.
+
+    ``grad_accum`` (opt-in, divides the batch) accumulates gradients
+    over that many sequential microbatches inside one jitted step: peak
+    HBM = one microbatch + a params-sized accumulator. This is the
+    mechanism that actually lifts the (res, batch) boundary (e.g. the
+    reference's full batch 16 at 512 px in f32 on one 16 GB chip —
+    measured, GAN512_r04.jsonl). Semantics match the reference's
+    nn.DataParallel batch split: every loss term is a batch mean so the
+    microbatch average is exact; minibatch_stddev sees the microbatch,
+    exactly as each reference GPU saw its per-GPU share."""
+    tx = tx or make_optimizers(0.001)
+    d_loss_fn = make_d_loss(step, width_mult=width_mult,
+                            from_rgb_activate=from_rgb_activate,
+                            compute_dtype=compute_dtype, remat=remat)
+
     def d_step(params_d, opt_d, params_g, real, zs, sel, alpha, lr, rng):
-        (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            params_d, params_g, real, zs, sel, alpha, rng)
+        if grad_accum == 1:
+            (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                params_d, params_g, real, zs, sel, alpha, rng)
+        else:
+            scan_args = (_microbatch(real, grad_accum),
+                         _microbatch(zs, grad_accum, axis=1),
+                         jax.random.split(rng, grad_accum))
+            grads, aux = _accum_grads(
+                d_loss_fn, params_d, grad_accum, scan_args,
+                lambda xs: (params_g, xs[0], xs[1], sel, alpha, xs[2]))
         updates, opt_d = tx.update(grads, opt_d, params_d)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params_d = optax.apply_updates(params_d, updates)
@@ -141,9 +219,21 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
     return jax.jit(d_step)
 
 
-def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
-                loss_kind: str = "wgan-gp", tx=None, compute_dtype=None):
-    tx = tx or make_optimizers(0.001)
+def make_g_loss(step: int, *, width_mult: float, from_rgb_activate: bool,
+                loss_kind: str = "wgan-gp", compute_dtype=None,
+                remat: bool = False):
+    """Build the generator loss closure (exposed for tests/accumulation)."""
+
+    def _apply_g(params_g, zs, noise, sel, alpha):
+        return sg.apply_styled_generator(
+            params_g, zs, noise, step=step, alpha=alpha, style_sel=sel,
+            width_mult=width_mult, remat=remat)
+
+    def _apply_d(params_d, x, alpha, rng):
+        return sg.apply_discriminator(
+            params_d, x, step=step, alpha=alpha, width_mult=width_mult,
+            from_rgb_activate=from_rgb_activate, train=True, rng=rng,
+            remat=remat)
 
     def g_loss_fn(params_g, params_d, zs, sel, alpha, rng):
         if compute_dtype is not None:
@@ -155,20 +245,42 @@ def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
         noise = sg.make_noise(r_noise, zs.shape[1], step)
         if compute_dtype is not None:
             noise = [n.astype(compute_dtype) for n in noise]
-        fake = sg.apply_styled_generator(
-            params_g, zs, noise, step=step, alpha=alpha, style_sel=sel,
-            width_mult=width_mult)
-        predict = sg.apply_discriminator(
-            params_d, fake, step=step, alpha=alpha, width_mult=width_mult,
-            from_rgb_activate=from_rgb_activate, train=True,
-            rng=r_drop).astype(jnp.float32)
+        fake = _apply_g(params_g, zs, noise, sel, alpha)
+        predict = _apply_d(params_d, fake, alpha,
+                           r_drop).astype(jnp.float32)
         if loss_kind == "r1":
             return jax.nn.softplus(-predict).mean(), {}
         return (-predict).mean(), {}
 
+    return g_loss_fn
+
+
+def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
+                loss_kind: str = "wgan-gp", tx=None, compute_dtype=None,
+                remat: bool = False, grad_accum: int = 1):
+    tx = tx or make_optimizers(0.001)
+    g_loss_fn = make_g_loss(step, width_mult=width_mult,
+                            from_rgb_activate=from_rgb_activate,
+                            loss_kind=loss_kind, compute_dtype=compute_dtype,
+                            remat=remat)
+
     def g_step(params_g, opt_g, ema, params_d, zs, sel, alpha, lr, rng):
-        (loss, _), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            params_g, params_d, zs, sel, alpha, rng)
+        if grad_accum == 1:
+            (loss, _), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                params_g, params_d, zs, sel, alpha, rng)
+        else:
+            # aux dict is empty; accumulate the scalar loss alongside by
+            # differentiating a shim whose aux carries the loss value
+            def loss_with_aux(pg, pd, z, s, a, k):
+                val, _ = g_loss_fn(pg, pd, z, s, a, k)
+                return val, {"loss": val}
+
+            scan_args = (_microbatch(zs, grad_accum, axis=1),
+                         jax.random.split(rng, grad_accum))
+            grads, aux = _accum_grads(
+                loss_with_aux, params_g, grad_accum, scan_args,
+                lambda xs: (params_d, xs[0], sel, alpha, xs[1]))
+            loss = aux["loss"]
         updates, opt_g = tx.update(grads, opt_g, params_g)
         mask = style_lr_mask(params_g)
         updates = jax.tree_util.tree_map(lambda u, m: -lr * m * u,
@@ -300,6 +412,25 @@ def build_argparser():
                         "backward (master params, Adam state, loss terms "
                         "and the GP norm stay f32). f32 is the reference-"
                         "parity default; bf16 taps the MXU's 4x bf16 rate")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint every G/D progression block "
+                        "(jax.checkpoint); measured on v5e: does NOT "
+                        "move the WGAN-GP OOM boundary (XLA's own HLO "
+                        "rematerializer already fires; the double-"
+                        "backward conv temps bind) and costs ~22% "
+                        "imgs/s — kept as a measured knob, prefer "
+                        "--grad_accum (GAN512_r04.jsonl)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N sequential "
+                        "microbatches inside each jitted step (batch "
+                        "must divide): peak HBM = one microbatch + a "
+                        "params-sized accumulator — the knob that lifts "
+                        "the (res, batch) OOM boundary (measured, "
+                        "GAN512_r04.jsonl). Semantics = the reference's "
+                        "nn.DataParallel per-GPU split (exact for every "
+                        "batch-mean term; minibatch_stddev sees the "
+                        "microbatch like each reference GPU saw its "
+                        "share)")
     p.add_argument("--profile", action="store_true",
                    help="XProf device trace of the first epoch into "
                         "<output_dir>/profile/ + per-batch percentiles and "
@@ -421,13 +552,17 @@ def train_gan(args):
         if step not in step_fns:
             cdt = (jnp.bfloat16 if getattr(args, "compute_dtype", "f32")
                    == "bf16" else None)
+            rm = getattr(args, "remat", False)
+            ga = getattr(args, "grad_accum", 1)
             step_fns[step] = (
                 make_d_step(step, width_mult=width,
                             from_rgb_activate=from_rgb_activate,
-                            loss_kind=args.loss, tx=tx, compute_dtype=cdt),
+                            loss_kind=args.loss, tx=tx, compute_dtype=cdt,
+                            remat=rm, grad_accum=ga),
                 make_g_step(step, width_mult=width,
                             from_rgb_activate=from_rgb_activate,
-                            loss_kind=args.loss, tx=tx, compute_dtype=cdt),
+                            loss_kind=args.loss, tx=tx, compute_dtype=cdt,
+                            remat=rm, grad_accum=ga),
             )
         d_step, g_step = step_fns[step]
 

@@ -542,6 +542,140 @@ def test_bf16_steps_finite_and_update():
     assert moved
 
 
+def test_remat_steps_match_plain():
+    """--remat (jax.checkpoint over the G/D applies) only changes WHEN
+    activations are computed, not the math: one d_step and one g_step
+    with remat must reproduce the plain step's parameters — including
+    through the GP double-backward, where the rematerialized inner grad
+    is the HBM win the knob exists for."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    step = 1  # 8px, fade-in blend path alive via alpha=0.5
+    k_g, k_d = jax.random.split(jax.random.PRNGKey(0))
+    params_g = sg.init_styled_generator(k_g, width_mult=WM)
+    params_d = sg.init_discriminator(k_d, width_mult=WM)
+    tx = gan.make_optimizers()
+    n_blocks = len(sg._gen_layout(WM))
+    sel = jnp.zeros((n_blocks,), jnp.int32)
+    real = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    zs = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 512))
+    args = (jnp.float32(0.5), jnp.float32(1e-3), jax.random.PRNGKey(3))
+
+    def run(remat):
+        opt_g, opt_d = tx.init(params_g), tx.init(params_d)
+        d_step = gan.make_d_step(step, width_mult=WM,
+                                 from_rgb_activate=True, tx=tx, remat=remat)
+        g_step = gan.make_g_step(step, width_mult=WM,
+                                 from_rgb_activate=True, tx=tx, remat=remat)
+        pd, od, aux = d_step(params_d, opt_d, params_g, real, zs, sel,
+                             *args)
+        pg, og, ema, gl = g_step(params_g, opt_g, params_g, pd, zs, sel,
+                                 *args)
+        return pd, pg, ema, float(aux["disc_loss"]), \
+            float(aux["grad_penalty"]), float(gl)
+
+    pd0, pg0, ema0, dl0, gp0, gl0 = run(False)
+    pd1, pg1, ema1, dl1, gp1, gl1 = run(True)
+    assert abs(dl0 - dl1) < 1e-5
+    assert abs(gp0 - gp1) < 1e-4
+    assert abs(gl0 - gl1) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves((pd0, pg0, ema0)),
+                    jax.tree_util.tree_leaves((pd1, pg1, ema1))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_grad_accum_matches_handrolled_microbatch_average():
+    """--grad_accum N (lax.scan gradient accumulation inside the jitted
+    step — the single-chip analog of the reference's nn.DataParallel
+    batch split, and the knob that lifts the high-res HBM boundary in
+    GAN512_r04.jsonl) must equal hand-averaged per-microbatch gradients
+    through the exposed loss builders, followed by the same Adam update.
+    Covers microbatch slicing (real axis 0, zs axis 1), the per-
+    microbatch rng split, grad/aux averaging, and the optimizer wiring,
+    for BOTH d_step and g_step."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    step, accum = 1, 2
+    k_g, k_d = jax.random.split(jax.random.PRNGKey(0))
+    params_g = sg.init_styled_generator(k_g, width_mult=WM)
+    params_d = sg.init_discriminator(k_d, width_mult=WM)
+    tx = gan.make_optimizers()
+    opt_g, opt_d = tx.init(params_g), tx.init(params_d)
+    n_blocks = len(sg._gen_layout(WM))
+    sel = jnp.zeros((n_blocks,), jnp.int32)
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    zs = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 512))
+    alpha, lr, rng = jnp.float32(0.5), jnp.float32(1e-3), jax.random.PRNGKey(3)
+
+    # ---- fused path
+    d_step = gan.make_d_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx, grad_accum=accum)
+    g_step = gan.make_g_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx, grad_accum=accum)
+    pd_f, od_f, aux_f = d_step(params_d, opt_d, params_g, real, zs, sel,
+                               alpha, lr, rng)
+    pg_f, og_f, ema_f, gl_f = g_step(params_g, opt_g, params_g, pd_f, zs,
+                                     sel, alpha, lr, rng)
+
+    # ---- hand-rolled expectation
+    d_loss = gan.make_d_loss(step, width_mult=WM, from_rgb_activate=True)
+    g_loss = gan.make_g_loss(step, width_mult=WM, from_rgb_activate=True)
+    rngs = jax.random.split(rng, accum)
+    reals = real.reshape(accum, 2, 8, 8, 3)
+    zss = jnp.moveaxis(zs.reshape(1, accum, 2, 512), 1, 0)
+
+    def avg(trees):
+        return jax.tree_util.tree_map(
+            lambda *xs: sum(xs) / len(xs), *trees)
+
+    d_parts = [jax.value_and_grad(d_loss, has_aux=True)(
+        params_d, params_g, reals[i], zss[i], sel, alpha, rngs[i])
+        for i in range(accum)]
+    grads_d = avg([p[1] for p in d_parts])
+    aux_e = avg([p[0][1] for p in d_parts])
+    upd, od_e = tx.update(grads_d, opt_d, params_d)
+    pd_e = jax.tree_util.tree_map(lambda p, u: p - lr * u, params_d, upd)
+
+    # post-Adam trees get extra headroom: the scale-free update is
+    # g/(0.1|g| + eps), which amplifies benign float-reordering noise on
+    # near-zero-grad elements (observed: one element in 16k at ~9e-5);
+    # the loss/aux scalars stay at tight tolerance
+    def check(fused, expected, atol):
+        for a, b in zip(jax.tree_util.tree_leaves(fused),
+                        jax.tree_util.tree_leaves(expected)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=atol, rtol=1e-4)
+
+    check((pd_f, od_f), (pd_e, od_e), atol=5e-4)
+    check(aux_f, aux_e, atol=1e-5)
+
+    g_parts = [jax.value_and_grad(g_loss, has_aux=True)(
+        params_g, pd_f, zss[i], sel, alpha, rngs[i]) for i in range(accum)]
+    grads_g = avg([p[1] for p in g_parts])
+    gl_e = sum(p[0][0] for p in g_parts) / accum
+    upd, og_e = tx.update(grads_g, opt_g, params_g)
+    mask = gan.style_lr_mask(params_g)
+    pg_e = jax.tree_util.tree_map(lambda p, u, m: p - lr * m * u,
+                                  params_g, upd, mask)
+    ema_e = gan.accumulate(params_g, pg_e)
+
+    np.testing.assert_allclose(float(gl_f), float(gl_e), atol=1e-5,
+                               rtol=1e-5)
+    check((pg_f, og_f, ema_f), (pg_e, og_e, ema_e), atol=5e-4)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        d_step_bad = gan.make_d_step(step, width_mult=WM,
+                                     from_rgb_activate=True, tx=tx,
+                                     grad_accum=3)
+        d_step_bad(params_d, opt_d, params_g, real, zs, sel, alpha, lr,
+                   rng)
+
+
 @pytest.mark.slow
 def test_gan_data_parallel_step_matches_single_device():
     """--mesh data parallelism (the reference's nn.DataParallel on the
