@@ -677,6 +677,62 @@ def test_grad_accum_matches_handrolled_microbatch_average():
 
 
 @pytest.mark.slow
+def test_gan_mesh_composes_with_grad_accum():
+    """SCALING.md claims mesh data parallelism and --grad_accum compose
+    (shard each scan microbatch over the mesh). Verify: d_step+g_step
+    with grad_accum=2 on an 8-device data mesh must equal the same
+    grad_accum=2 step single-device — GSPMD's collectives are the only
+    difference (sum reordering)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.parallel import (
+        mesh as M,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    key = jax.random.PRNGKey(7)
+    step = 1
+    params_g = sg.init_styled_generator(key, style_dim=32, width_mult=WM)
+    params_d = sg.init_discriminator(key, width_mult=WM)
+    tx = gan.make_optimizers(0.001)
+    opt_g, opt_d = tx.init(params_g), tx.init(params_d)
+    d_step = gan.make_d_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx, grad_accum=2)
+    g_step = gan.make_g_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx, grad_accum=2)
+
+    b = 16  # -> 2 microbatches of 8, each sharded over the 8 devices
+    real = jax.random.normal(jax.random.fold_in(key, 1), (b, 8, 8, 3))
+    zs = jax.random.normal(jax.random.fold_in(key, 2), (2, b, 32))
+    n_blocks = len(sg._gen_layout(WM))
+    sel = jnp.zeros((n_blocks,), jnp.int32)
+    args = (jnp.float32(0.7), jnp.float32(1e-3), jax.random.fold_in(key, 3))
+
+    def run(mesh):
+        pd, od, pg, og, ema = params_d, opt_d, params_g, opt_g, params_g
+        r, z = real, zs
+        if mesh is not None:
+            rep = M.replicated(mesh)
+            put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, rep), t)
+            pd, od, pg, og, ema = map(put, (pd, od, pg, og, ema))
+            r = jax.device_put(r, M.data_batch_sharding(mesh))
+            z = jax.device_put(z, M.style_batch_sharding(mesh))
+        pd, od, aux = d_step(pd, od, pg, r, z, sel, *args)
+        pg, og, ema, gl = g_step(pg, og, ema, pd, z, sel, *args)
+        return pd, pg, ema, float(aux["disc_loss"]), float(gl)
+
+    pd1, pg1, ema1, dl1, gl1 = run(None)
+    pd8, pg8, ema8, dl8, gl8 = run(M.data_mesh(8))
+
+    assert abs(dl1 - dl8) < 1e-5 and abs(gl1 - gl8) < 1e-5
+    for a, b_ in zip(jax.tree_util.tree_leaves((pd1, pg1, ema1)),
+                     jax.tree_util.tree_leaves((pd8, pg8, ema8))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
 def test_gan_data_parallel_step_matches_single_device():
     """--mesh data parallelism (the reference's nn.DataParallel on the
     GAN, train.py:267-274): one d_step + g_step with batch/latents
