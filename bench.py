@@ -746,6 +746,9 @@ def bench_train_step(quick: bool, no_baseline: bool = False):
 # WGAN-GP double-backward graph). 512 runs at batch 8: the measured HBM
 # boundary (tools/exp_gan512.py, GAN512_r04.jsonl) is between 8 and 16
 # in f32 — batch 16 OOMs, batch 8 fits with the full GP double-backward.
+# (--grad_accum 2 DOES fit the full batch 16 at 12.59 imgs/s — measured,
+# GAN512_r04.jsonl; the bench point stays at the plain batch-8 step so
+# the sweep's compile cost stays flat.)
 GAN_BENCH_POINTS = ((8, 1, 64), (64, 4, 64), (256, 6, 32), (512, 7, 8))
 
 

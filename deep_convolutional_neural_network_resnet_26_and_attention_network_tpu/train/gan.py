@@ -471,6 +471,28 @@ def train_gan(args):
             args.ckpt, params_g, params_d, opt_g, opt_d, g_running)
         print("Loaded GAN checkpoint", args.ckpt)
 
+    # validate the WHOLE progressive batch schedule up front against
+    # --mesh and --grad_accum: the reference schedule
+    # (STEP_BATCH_SIZE[512]=100) is not divisible by e.g. 8, and
+    # discovering that only when training reaches 512px would kill a
+    # multi-day run mid-flight
+    _max_step = int(math.log2(args.max_size)) - 2
+    _init_step = min(max(int(math.log2(args.init_size)) - 2, 0),
+                     _max_step)  # same offset as the training loop
+    _sched = ({args.batch_override} if args.batch_override else {
+        STEP_BATCH_SIZE.get(
+            4 * 2 ** min(_init_step + e // args.step_every, _max_step),
+            32)
+        for e in range(args.epoch_start, args.epochs)})
+    _accum = getattr(args, "grad_accum", 1) or 1
+    if _accum > 1:
+        _bad = sorted(b for b in _sched if b % _accum)
+        if _bad:
+            raise RuntimeError(
+                f"batch schedule {_bad} not divisible by --grad_accum "
+                f"{_accum}; pass --batch_override with a multiple "
+                f"of {_accum}")
+
     mesh = None
     if getattr(args, "mesh", 0):
         from ..parallel import mesh as M
@@ -478,24 +500,16 @@ def train_gan(args):
         if len(jax.devices()) < args.mesh:
             raise RuntimeError(f"--mesh {args.mesh} but only "
                                f"{len(jax.devices())} devices")
-        # validate the WHOLE progressive batch schedule up front: the
-        # reference schedule (STEP_BATCH_SIZE[512]=100) is not divisible
-        # by e.g. 8, and discovering that only when training reaches
-        # 512px would kill a multi-day run mid-flight
-        _max_step = int(math.log2(args.max_size)) - 2
-        _init_step = min(max(int(math.log2(args.init_size)) - 2, 0),
-                         _max_step)  # same offset as the training loop
-        _sched = ({args.batch_override} if args.batch_override else {
-            STEP_BATCH_SIZE.get(
-                4 * 2 ** min(_init_step + e // args.step_every, _max_step),
-                32)
-            for e in range(args.epoch_start, args.epochs)})
-        _bad = sorted(b for b in _sched if b % args.mesh)
+        # each scan microbatch (b / grad_accum) is what the mesh shards
+        _bad = sorted(b for b in _sched if (b // _accum) % args.mesh)
         if _bad:
             raise RuntimeError(
                 f"batch schedule {_bad} not divisible over --mesh "
-                f"{args.mesh}; pass --batch_override with a multiple "
-                f"of {args.mesh}")
+                f"{args.mesh}"
+                + (f" after --grad_accum {_accum} microbatching"
+                   if _accum > 1 else "")
+                + f"; pass --batch_override with a multiple "
+                f"of {args.mesh * _accum}")
         mesh = M.data_mesh(args.mesh)
         rep = M.replicated(mesh)
         put_rep = lambda t: jax.tree_util.tree_map(  # noqa: E731

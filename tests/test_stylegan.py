@@ -233,6 +233,34 @@ def test_gan_mesh_schedule_check_honors_init_size(tmp_path):
                   "--epochs", "1", "--width_mult", "0.0625"])
 
 
+def test_gan_grad_accum_schedule_checked_at_startup(tmp_path):
+    """--grad_accum divisibility is validated against the WHOLE
+    progressive batch schedule at startup (STEP_BATCH_SIZE[512]=100 is
+    not divisible by 8 — reject before a multi-day run reaches 512px),
+    and the --mesh check shards the MICROBATCH: batch 256 over mesh 8
+    is fine plain, but with --grad_accum 64 the 4-sample microbatch no
+    longer divides over 8 devices."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    with pytest.raises(RuntimeError,
+                       match="not divisible by --grad_accum"):
+        gan.main(["--data_dir", str(tmp_path), "--output_dir",
+                  str(tmp_path / "out"), "--grad_accum", "8",
+                  "--init_size", "512", "--max_size", "512",
+                  "--epochs", "1", "--width_mult", "0.0625"])
+
+    # microbatch (256/64=4) smaller than the mesh (8): must be rejected
+    # up front with the combined hint
+    with pytest.raises(RuntimeError, match="after --grad_accum"):
+        gan.main(["--data_dir", str(tmp_path), "--output_dir",
+                  str(tmp_path / "out"), "--mesh", "8",
+                  "--grad_accum", "64",
+                  "--init_size", "4", "--max_size", "4",
+                  "--epochs", "1", "--width_mult", "0.0625"])
+
+
 @pytest.mark.slow
 def test_gan_trainer_mesh_smoke(image_dir, tmp_path):
     """--mesh 8: the data-parallel trainer runs end to end (device_puts,
