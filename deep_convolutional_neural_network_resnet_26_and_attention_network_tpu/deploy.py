@@ -110,8 +110,12 @@ def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
     manifest = {
         "bundle_version": BUNDLE_VERSION,
         "jax_version": jax.__version__,
+        # record canonical jax.export platform names: default_backend()
+        # says 'gpu' but export/lowering names are 'cuda'/'rocm', and the
+        # load-time re-export hint must only ever suggest canonical names
         "platforms": list(platforms) if platforms
-        else [jax.default_backend()],
+        else [{"gpu": "cuda"}.get(jax.default_backend(),
+                                  jax.default_backend())],
         "resolution": resolution, "roi_size": roi_size,
         "compute_dtype": jnp.dtype(compute_dtype).name,
         "chunk": chunk, "max_tiles": tiles,
@@ -181,11 +185,15 @@ class DeployedClassifier:
         matching = {"gpu": {"cuda", "rocm", "gpu"}}.get(backend, {backend})
         plats = self.manifest.get("platforms") or []
         if plats and not (matching & set(plats)):
-            canonical = {"gpu": "cuda"}.get(backend, backend)
+            # canonicalize BOTH sides of the hint: older manifests (or
+            # hand-written ones) may store 'gpu', which jax.export
+            # rejects as a lowering platform
+            canon = lambda p: {"gpu": "cuda"}.get(p, p)  # noqa: E731
+            hint = sorted({canon(p) for p in plats} | {canon(backend)})
             raise ValueError(
                 f"bundle was lowered for platforms {plats} but the "
                 f"current backend is {backend!r}; re-export with "
-                f"--platforms {','.join(sorted({*plats, canonical}))}")
+                f"--platforms {','.join(hint)}")
         blob = checkpoint.load_raw(os.path.join(bundle_dir, WEIGHTS))
         self.params = _unflatten(
             {k[len("classifier/"):]: v for k, v in blob.items()

@@ -262,8 +262,10 @@ def apply_generator(params, styles, noise, *, step=0, alpha=-1.0,
 
     ``remat``: checkpoint each styled-conv block (sequential-segment
     rematerialization) so the backward retains only block-boundary
-    activations plus one block's internals at a time — the knob that
-    lifts the high-res HBM boundary (GAN512_r04.jsonl). Values unchanged.
+    activations plus one block's internals at a time. Measured effect:
+    lifts the f32/1024px training boundary one batch rung, does NOT
+    move the 512px WGAN-GP boundary (GAN512/1024_r04.jsonl). Values
+    unchanged.
     """
     layout = _gen_layout(width_mult)
     if not 0 <= step < len(layout):
@@ -441,10 +443,11 @@ def apply_discriminator(params, x, *, step=0, alpha=-1.0, width_mult=1.0,
                         rng=None, remat=False):
     """x: [B, s, s, 3] at resolution 4*2^step (reference: model.py:551-580).
 
-    ``remat``: checkpoint each progression block so the backward —
-    including the WGAN-GP double-backward, whose inner-grad residuals
-    dominate HBM at high resolution — retains only block boundaries and
-    recomputes one block's internals at a time. Values unchanged."""
+    ``remat``: checkpoint each progression block so the backward
+    retains only block boundaries and recomputes one block's internals
+    at a time. Note the WGAN-GP double-backward's conv temps are NOT
+    residuals and do not shrink — measured, remat only lifts the
+    f32/1024px boundary (GAN512/1024_r04.jsonl). Values unchanged."""
     layout, _ = _disc_layout(width_mult)
     n_layer = len(layout)
     out = None

@@ -179,12 +179,13 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
     piece). f32 remains the default — reference parity.
 
     ``remat`` (opt-in) checkpoints every progression block
-    (stylegan.apply_*(remat=True)). Measured on v5e (GAN512_r04.jsonl):
-    it does NOT move the WGAN-GP OOM boundary — XLA's own HLO
-    rematerializer already fires at these sizes and the binding
-    constraint is the double-backward conv temps — and costs ~22%
-    imgs/s where both fit. Kept as an implemented-and-measured knob;
-    prefer ``grad_accum``.
+    (stylegan.apply_*(remat=True)). Measured on v5e (GAN512_r04.jsonl,
+    GAN1024_r04.jsonl): it does NOT move the 512 px WGAN-GP boundary —
+    XLA's own HLO rematerializer already fires at these sizes and the
+    binding constraint is the double-backward conv temps — and costs
+    ~22% imgs/s where both fit; the one measured win is f32 at 1024 px
+    (batch 4 fits only with remat, 2.12 imgs/s). Prefer ``grad_accum``
+    everywhere else.
 
     ``grad_accum`` (opt-in, divides the batch) accumulates gradients
     over that many sequential microbatches inside one jitted step: peak
@@ -195,6 +196,8 @@ def make_d_step(step: int, *, width_mult: float, from_rgb_activate: bool,
     nn.DataParallel batch split: every loss term is a batch mean so the
     microbatch average is exact; minibatch_stddev sees the microbatch,
     exactly as each reference GPU saw its per-GPU share."""
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     tx = tx or make_optimizers(0.001)
     d_loss_fn = make_d_loss(step, width_mult=width_mult,
                             from_rgb_activate=from_rgb_activate,
@@ -258,6 +261,8 @@ def make_g_loss(step: int, *, width_mult: float, from_rgb_activate: bool,
 def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
                 loss_kind: str = "wgan-gp", tx=None, compute_dtype=None,
                 remat: bool = False, grad_accum: int = 1):
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     tx = tx or make_optimizers(0.001)
     g_loss_fn = make_g_loss(step, width_mult=width_mult,
                             from_rgb_activate=from_rgb_activate,
@@ -415,11 +420,12 @@ def build_argparser():
     p.add_argument("--remat", action="store_true",
                    help="checkpoint every G/D progression block "
                         "(jax.checkpoint); measured on v5e: does NOT "
-                        "move the WGAN-GP OOM boundary (XLA's own HLO "
-                        "rematerializer already fires; the double-"
+                        "move the 512px WGAN-GP boundary (the double-"
                         "backward conv temps bind) and costs ~22% "
-                        "imgs/s — kept as a measured knob, prefer "
-                        "--grad_accum (GAN512_r04.jsonl)")
+                        "imgs/s where both fit — its one measured win "
+                        "is f32 @ 1024px (batch 4 fits only with it); "
+                        "prefer --grad_accum elsewhere "
+                        "(GAN512/1024_r04.jsonl)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="accumulate gradients over N sequential "
                         "microbatches inside each jitted step (batch "
@@ -484,7 +490,12 @@ def train_gan(args):
             4 * 2 ** min(_init_step + e // args.step_every, _max_step),
             32)
         for e in range(args.epoch_start, args.epochs)})
-    _accum = getattr(args, "grad_accum", 1) or 1
+    _accum = getattr(args, "grad_accum", 1)
+    if _accum is None:
+        _accum = 1
+    if _accum < 1:
+        raise RuntimeError(
+            f"--grad_accum must be >= 1, got {_accum}")
     if _accum > 1:
         _bad = sorted(b for b in _sched if b % _accum)
         if _bad:

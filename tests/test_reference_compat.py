@@ -63,6 +63,16 @@ def run_dir(tmp_path_factory):
     and two ``*predictions.json`` artifacts.
     """
     mp = pytest.MonkeyPatch()
+    try:
+        yield from _build_run_dir(mp, tmp_path_factory)
+    finally:
+        # if setup or the rc/summary assertions fail, the CACHE_DIR env
+        # and RoiBuilder patch must still be undone or they leak into
+        # every later test in the session
+        mp.undo()
+
+
+def _build_run_dir(mp, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("refcompat")
     cache = tmp / "cache"
     cache.mkdir()
@@ -123,7 +133,6 @@ def run_dir(tmp_path_factory):
     run = out_root / "run_REFCOMPAT"
     assert sorted(run.glob("*summary.json")), "driver produced no summaries"
     yield run
-    mp.undo()
 
 
 @pytest.fixture

@@ -251,6 +251,15 @@ def test_gan_grad_accum_schedule_checked_at_startup(tmp_path):
                   "--init_size", "512", "--max_size", "512",
                   "--epochs", "1", "--width_mult", "0.0625"])
 
+    # 0 / negative values must be rejected up front too (0 would pass
+    # a bare divisibility check and ZeroDivisionError mid-flight)
+    for bad in ("0", "-1"):
+        with pytest.raises(RuntimeError, match="must be >= 1"):
+            gan.main(["--data_dir", str(tmp_path), "--output_dir",
+                      str(tmp_path / "out"), "--grad_accum", bad,
+                      "--init_size", "4", "--max_size", "4",
+                      "--epochs", "1", "--width_mult", "0.0625"])
+
     # microbatch (256/64=4) smaller than the mesh (8): must be rejected
     # up front with the combined hint
     with pytest.raises(RuntimeError, match="after --grad_accum"):

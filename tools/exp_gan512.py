@@ -43,6 +43,13 @@ sys.path.insert(0, _ROOT)
 
 def probe(res: int, batch: int, dtype_name: str, remat: bool,
           grad_accum: int = 1, iters: int = 3) -> dict:
+    # Deliberately mirrors bench.py config 7's measurement discipline
+    # (fresh fold_in inputs per timed call vs axon result caching; host
+    # fetch to close async dispatch; median of iters). It cannot SHARE
+    # that code: bench runs in-process where one OOM poisons the client,
+    # and this probe exists precisely to run each attempt in its own
+    # interpreter. If the timing workarounds change in bench.py, change
+    # them here too.
     import jax
     import jax.numpy as jnp
 
@@ -152,8 +159,17 @@ def main(argv=None) -> int:
     rows = []
     for dtype in args.dtypes.split(","):
         for batch in (int(b) for b in args.batches.split(",")):
+            if batch % args.grad_accum:
+                # the default descending ladder reaches batches that
+                # cannot divide (e.g. 1 with --grad_accum 2) — skip
+                # rather than record a noise row
+                print(f"# skip batch {batch}: not divisible by "
+                      f"--grad_accum {args.grad_accum}",
+                      file=sys.stderr, flush=True)
+                continue
             print(f"# probing res {args.res} {dtype} batch {batch} "
-                  f"remat={args.remat}", file=sys.stderr, flush=True)
+                  f"remat={args.remat} accum={args.grad_accum}",
+                  file=sys.stderr, flush=True)
             child = [sys.executable, os.path.abspath(__file__), "--probe",
                      "--res", str(args.res), "--batch", str(batch),
                      "--dtype", dtype,
@@ -170,6 +186,7 @@ def main(argv=None) -> int:
             if line is None:
                 rows.append({"res": args.res, "batch": batch,
                              "dtype": dtype, "remat": args.remat,
+                             "grad_accum": args.grad_accum,
                              "fit": False, "oom": False,
                              "error": f"child rc={proc.returncode}: "
                              + proc.stderr.strip()[-200:]})
