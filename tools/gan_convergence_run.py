@@ -120,6 +120,11 @@ def main():
                     help="width_mult 1/16 (CPU smoke)")
     ap.add_argument("--keep", default=None,
                     help="keep run artifacts in this dir (default: tmp)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="train with in-step microbatch gradient "
+                         "accumulation (train.gan --grad_accum): "
+                         "convergence-context evidence for the knob "
+                         "beyond the one-step parity test")
     args = ap.parse_args()
     width = (1 / 16) if args.tiny else args.width
     max_res = args.max_res or args.res
@@ -178,6 +183,7 @@ def main():
                                   else max(args.n_images * 2, 4000)),
                    "--epochs", str(args.epochs),
                    "--batch_override", str(args.batch),
+                   "--grad_accum", str(args.grad_accum),
                    "--width_mult", str(width), "--seed", "1"])
     wall = time.time() - t0
     if rc not in (0, None):
@@ -211,6 +217,7 @@ def main():
     record = {
         "converged": converged, "res": args.res, "max_res": max_res,
         "res_transitions": res_transitions, "step_every": step_every,
+        "grad_accum": args.grad_accum,
         "width_mult": width,
         "epochs": args.epochs, "samples": args.n_images * args.epochs,
         "band_dist_init": round(d_init, 4),
