@@ -97,7 +97,7 @@ def _measured_baselines() -> dict:
 _BASELINE_MEMO: dict = {}
 
 
-def _prov(source: str, value: float) -> dict:
+def _prov(source: str, value: float, rec: dict = None) -> dict:
     """Baseline provenance block, attached to every vs_baseline artifact:
     the raw baseline value, where it came from, and a host fingerprint —
     the round-3 judge found the same config's vs_baseline swinging 2.2x
@@ -110,9 +110,13 @@ def _prov(source: str, value: float) -> dict:
     except OSError:  # pragma: no cover - non-unix
         pass
     if source == "cached":
+        # prefer the per-config stamp: the file-level one is rewritten
+        # by every partial --record-baseline and only says "last touch"
         meta = _measured_baselines()
-        prov["baseline_recorded"] = (f"{meta.get('recorded', '?')}"
-                                     f"@{meta.get('host', '?')}")
+        rec = rec or {}
+        prov["baseline_recorded"] = (
+            f"{rec.get('recorded', meta.get('recorded', '?'))}"
+            f"@{rec.get('host', meta.get('host', '?'))}")
     return prov
 
 
@@ -130,7 +134,8 @@ def _baseline(key: str, runner, *, quick: bool, no_baseline: bool):
     baseline instead of re-running it."""
     rec = _measured_baselines().get("configs", {}).get(key)
     if rec:
-        return float(rec["value"]), _prov("cached", float(rec["value"]))
+        return float(rec["value"]), _prov("cached", float(rec["value"]),
+                                          rec)
     if quick or no_baseline:
         return None, {}
     if key in _BASELINE_MEMO:
@@ -864,9 +869,14 @@ def bench_gan_train(quick: bool, no_baseline: bool = False):
             _progress(f"config 7: res {res} batch {batch} OOM — "
                       f"recording boundary row, skipping retries "
                       f"({msg.splitlines()[0][:120]})")
-            _emit("stylegan_train_imgs_per_sec", 0.0,
-                  f"imgs/sec (res {res}, batch {batch} OOM on this chip, "
-                  f"width x{width}, {platform})", None, mode=mode,
+            # distinct metric name: a 0.0 under the throughput metric
+            # would read as a measured rate to any consumer keyed on
+            # "stylegan_train_imgs_per_sec" (cross-round comparisons,
+            # README table tooling); the boundary is a different fact
+            _emit("stylegan_train_oom_boundary", float(batch),
+                  f"batch (res {res} full-width WGAN-GP step OOMs at "
+                  f"this batch on this chip, width x{width}, "
+                  f"{platform})", None, mode=mode,
                   small=small, resolution=res, oom_batch=batch,
                   note=("full-width WGAN-GP OOM at this (res, batch); "
                         "later configs in the sweep may be unreliable in "
@@ -1012,6 +1022,11 @@ def record_baselines(configs=None):
         out["configs"][key] = {
             "value": round(value, 6), "unit": unit,
             "measure_secs": round(time.perf_counter() - t0, 1),
+            # per-config stamp: a partial re-record (e.g.
+            # --record-baseline 7@512) must not make untouched siblings
+            # look freshly measured via the file-level stamp
+            "recorded": time.strftime("%Y-%m-%d"),
+            "host": out["host"],
         }
         with open(BASELINE_MEASURED_PATH, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)

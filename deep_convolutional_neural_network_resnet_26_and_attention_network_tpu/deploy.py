@@ -114,8 +114,7 @@ def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
         # says 'gpu' but export/lowering names are 'cuda'/'rocm', and the
         # load-time re-export hint must only ever suggest canonical names
         "platforms": list(platforms) if platforms
-        else [{"gpu": "cuda"}.get(jax.default_backend(),
-                                  jax.default_backend())],
+        else [_canonical_backend()],
         "resolution": resolution, "roi_size": roi_size,
         "compute_dtype": jnp.dtype(compute_dtype).name,
         "chunk": chunk, "max_tiles": tiles,
@@ -127,6 +126,22 @@ def export_serving_bundle(params, cfg: amil.MILConfig, out_dir: str, *,
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def _canonical_backend() -> str:
+    """jax.default_backend() in jax.export's canonical platform names.
+    'gpu' is not a lowering platform — and it also conflates two
+    incompatible vendor stacks: a bundle lowered for cuda cannot run on
+    a rocm host. The backend's platform_version is the one runtime
+    string that records which stack this jaxlib targets."""
+    backend = jax.default_backend()
+    if backend != "gpu":
+        return backend
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = ""
+    return "rocm" if "rocm" in version.lower() else "cuda"
 
 
 def _unflatten(flat: dict):
@@ -179,20 +194,26 @@ class DeployedClassifier:
         # drain loop's retry/backoff
         backend = jax.default_backend()
         # jax.default_backend() says 'gpu' while jax.export platform
-        # names are 'cuda'/'rocm': a cuda-exported bundle must load on
-        # the matching gpu host, and the re-export hint must only ever
-        # suggest canonical jax.export names ('gpu' is not one)
-        matching = {"gpu": {"cuda", "rocm", "gpu"}}.get(backend, {backend})
+        # names are 'cuda'/'rocm' — and the two gpu stacks are NOT
+        # interchangeable, so resolve which one this host actually is
+        # instead of accepting any gpu-family name. Legacy manifests
+        # that stored the non-canonical 'gpu' still match a gpu host
+        # (we cannot know which stack stamped them).
+        canon_backend = _canonical_backend()
+        matching = {canon_backend} | ({"gpu"} if backend == "gpu"
+                                      else set())
         plats = self.manifest.get("platforms") or []
         if plats and not (matching & set(plats)):
-            # canonicalize BOTH sides of the hint: older manifests (or
-            # hand-written ones) may store 'gpu', which jax.export
-            # rejects as a lowering platform
-            canon = lambda p: {"gpu": "cuda"}.get(p, p)  # noqa: E731
-            hint = sorted({canon(p) for p in plats} | {canon(backend)})
+            # canonicalize BOTH sides of the hint: 'gpu' is rejected by
+            # jax.export as a lowering platform. A legacy 'gpu' manifest
+            # entry resolves to this host's stack when the host IS a
+            # gpu, else to 'cuda' (the common stack) as the best guess.
+            legacy_gpu = canon_backend if backend == "gpu" else "cuda"
+            canon = lambda p: {"gpu": legacy_gpu}.get(p, p)  # noqa: E731
+            hint = sorted({canon(p) for p in plats} | {canon_backend})
             raise ValueError(
                 f"bundle was lowered for platforms {plats} but the "
-                f"current backend is {backend!r}; re-export with "
+                f"current backend is {canon_backend!r}; re-export with "
                 f"--platforms {','.join(hint)}")
         blob = checkpoint.load_raw(os.path.join(bundle_dir, WEIGHTS))
         self.params = _unflatten(

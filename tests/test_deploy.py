@@ -156,6 +156,43 @@ def test_bundle_platform_gate(bundle):
         deploy.DeployedClassifier(out)
 
 
+def test_bundle_platform_gate_gpu_canonicalization(bundle, monkeypatch):
+    """The gate must distinguish the two gpu stacks (a cuda bundle is
+    NOT loadable on a rocm host) and its re-export hint must only name
+    canonical jax.export platforms — 'gpu' is not one."""
+    out, _, _ = bundle
+    mpath = os.path.join(out, deploy.MANIFEST)
+    m = json.load(open(mpath))
+    m["platforms"] = ["cuda"]
+    json.dump(m, open(mpath, "w"))
+
+    # a rocm host must reject a cuda-only bundle, naming both stacks
+    monkeypatch.setattr(deploy.jax, "default_backend", lambda: "gpu")
+    monkeypatch.setattr(deploy, "_canonical_backend", lambda: "rocm")
+    with pytest.raises(ValueError) as e:
+        deploy.DeployedClassifier(out)
+    assert "--platforms cuda,rocm" in str(e.value)
+    assert "'gpu'" not in str(e.value)
+
+    # the matching cuda host loads it
+    monkeypatch.setattr(deploy, "_canonical_backend", lambda: "cuda")
+    deploy.DeployedClassifier(out)
+
+    # legacy manifests that stored the non-canonical 'gpu' still load
+    # on a gpu host of either stack (we cannot know which stamped them)
+    m["platforms"] = ["gpu"]
+    json.dump(m, open(mpath, "w"))
+    deploy.DeployedClassifier(out)
+
+    # but a cpu host rejects them, and the hint canonicalizes the
+    # legacy 'gpu' to 'cuda' rather than suggesting an invalid platform
+    monkeypatch.setattr(deploy.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setattr(deploy, "_canonical_backend", lambda: "cpu")
+    with pytest.raises(ValueError) as e:
+        deploy.DeployedClassifier(out)
+    assert "--platforms cpu,cuda" in str(e.value)
+
+
 def test_swap_weights(bundle):
     """Re-trained same-shape weights reuse the programs; wrong shapes
     are rejected."""
