@@ -154,13 +154,21 @@ def main():
     gan_dataset._main(["--src", img_dir, "--out", store,
                        "--max-size", str(max_res), "--seed", "0"])
 
-    # real-data contrast from the store's images at the judging res
+    # real-data contrast from the store's images: decode each PNG ONCE
+    # and resize to every judging resolution (the final res, plus the
+    # starting res when a transition will be judged pre-fade too)
     from PIL import Image
 
-    real = np.stack([
-        np.asarray(Image.open(p).resize((max_res, max_res)),
-                   np.float32) / 127.5 - 1.0
-        for p in sorted(glob.glob(os.path.join(img_dir, "*.png")))[:512]])
+    judge_res = {max_res} | ({args.res} if max_res > args.res else set())
+    stacks = {r: [] for r in judge_res}
+    for p in sorted(glob.glob(os.path.join(img_dir, "*.png")))[:512]:
+        with Image.open(p) as im:
+            for r in judge_res:
+                stacks[r].append(
+                    np.asarray(im.resize((r, r)), np.float32)
+                    / 127.5 - 1.0)
+    real_by_res = {r: np.stack(v) for r, v in stacks.items()}
+    real = real_by_res[max_res]
     s_real = band_stats(real)
     c_real = band_contrast(real)
 
@@ -244,11 +252,7 @@ def main():
             assert loaded == total
             pre_imgs = generate(pre_tree, 256, init_step_, 512, width,
                                 seed=7)
-            pre_real = np.stack([
-                np.asarray(Image.open(p).resize((args.res, args.res)),
-                           np.float32) / 127.5 - 1.0
-                for p in sorted(glob.glob(
-                    os.path.join(img_dir, "*.png")))[:512]])
+            pre_real = real_by_res[args.res]
             record["band_dist_pre_transition"] = round(float(
                 np.abs(band_stats(pre_imgs) - band_stats(pre_real)).mean()),
                 4)
