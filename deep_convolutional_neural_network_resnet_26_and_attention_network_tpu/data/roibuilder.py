@@ -136,8 +136,12 @@ class RoiBuilder:
             tiles, coords = native.extract_tissue_tiles_native(
                 img, self.params["roi_size"], self.params["padding"])
         else:
+            # host_filter=True keeps the build off the accelerator — set
+            # by parallel cache builders (data.build_caches --workers N)
+            # whose worker processes must not each open a device client
             tiles, coords = tissue.extract_tissue_tiles(
-                img, self.params["roi_size"], self.params["padding"])
+                img, self.params["roi_size"], self.params["padding"],
+                use_device=not self.params.get("host_filter", False))
         # atomic (tmp + os.replace), COOR before DATA: __init__ treats the
         # data cache as the cache-hit marker and immediately reads the
         # coor cache, so a kill between the two writes must leave either

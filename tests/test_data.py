@@ -719,6 +719,44 @@ def test_build_caches_cli(tmp_path, monkeypatch):
     assert build_caches.main(argv) == 0  # idempotent: all cached
 
 
+@pytest.mark.slow
+def test_build_caches_cli_parallel_matches_serial(tmp_path, monkeypatch):
+    """--workers N builds the cohort in spawned processes; the caches it
+    writes must be byte-identical to the serial builder's (same filter
+    rule on host, atomic writes, order-independent)."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.data import (
+        build_caches,
+        slide_io,
+    )
+
+    slides = tmp_path / "imgs"
+    slides.mkdir()
+    rng = np.random.default_rng(3)
+    base = np.array([140, 60, 170], np.int16)
+    for name in ("GHP_1_A_H&E.scn", "GHP_2_B_H&E.scn", "GHP_3_C_H&E.scn"):
+        img = np.clip(base + rng.integers(-40, 40, (200, 200, 3)), 0,
+                      255).astype(np.uint8)
+        slide_io.write_synthetic_slide(str(slides / name), img)
+
+    argv = ["--data_root", str(tmp_path), "--image_dir", "imgs",
+            "--roi_size", "64", "--glob", "*H&E.npy"]
+    serial, parallel = tmp_path / "cache_s", tmp_path / "cache_p"
+    serial.mkdir(), parallel.mkdir()
+    monkeypatch.setenv("CACHE_DIR", str(serial))
+    assert build_caches.main(argv) == 0
+    monkeypatch.setenv("CACHE_DIR", str(parallel))
+    assert build_caches.main(argv + ["--workers", "2"]) == 0
+
+    s_files, p_files = (sorted(os.listdir(d)) for d in (serial, parallel))
+    assert s_files == p_files and len(s_files) == 6  # data_+coor_ x3
+    for f in s_files:
+        np.testing.assert_array_equal(np.load(serial / f),
+                                      np.load(parallel / f))
+
+    # a pre-warmed cache is reported, not rebuilt, under --workers too
+    assert build_caches.main(argv + ["--workers", "2"]) == 0
+
+
 def test_bucket_for_non_pow2_multiple_stays_on_ladder():
     """A mesh multiple with an odd factor (6-device tile axis) must round
     the smallest adequate ladder bucket up (32 -> 36), not jump to the
