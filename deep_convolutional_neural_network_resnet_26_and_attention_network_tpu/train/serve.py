@@ -144,6 +144,14 @@ class SlideServer:
         os.makedirs(args.out_root, exist_ok=True)
         self.results_path = os.path.join(args.out_root, "results.csv")
         self.processed_path = os.path.join(args.out_root, "processed.txt")
+        import threading
+
+        # graceful-stop latch (SIGTERM from a supervisor, see main()):
+        # finish the slide in flight, record it, exit 0 — instead of
+        # dying mid-slide and re-paying that slide's work on restart
+        # (the crash path stays safe either way: processed.txt is
+        # append+fsync and unrecorded slides simply retry)
+        self._stop_event = threading.Event()
 
         import jax
 
@@ -494,6 +502,13 @@ class SlideServer:
 
             items = prefetch_iter(items, depth=self.args.io_depth)
         for path, name, builder, err in items:
+            if self._stop_event.is_set():
+                # leave the rest of the backlog for the next start;
+                # the queued small-slide group below still flushes (its
+                # members are already prepared and device work is fast)
+                print("serve: stop requested — abandoning remaining "
+                      "backlog after the in-flight work", flush=True)
+                break
             if err is not None:  # construction or cache build failed
                 failed += 1
                 self._note_failure(name, err)
@@ -616,6 +631,14 @@ class SlideServer:
               f"{len(pool_buckets)} pool programs, "
               f"{time.perf_counter() - t0:.1f}s)", flush=True)
 
+    def request_stop(self):
+        """Ask the drain loop to exit after the in-flight slide (signal-
+        handler and thread safe; idempotent)."""
+        if not self._stop_event.is_set():
+            self._stop_event.set()
+            print("serve: SIGTERM/stop — finishing the in-flight slide, "
+                  "then exiting; restart resumes the backlog", flush=True)
+
     def run(self) -> int:
         self.prewarm()
         n_total, n_failed = 0, 0
@@ -623,11 +646,18 @@ class SlideServer:
             done, failed = self._drain(self.pending())
             n_total += done
             n_failed += failed
+            if self._stop_event.is_set():
+                print(f"serve: stopped gracefully ({n_total} slides, "
+                      f"{n_failed} failed) — state is durable, restart "
+                      f"resumes")
+                return 0
             if self.args.once:
                 print(f"serve: backlog drained ({n_total} slides, "
                       f"{n_failed} failed) — exiting (--once)")
                 return 0 if n_failed == 0 else 1
-            time.sleep(self.args.poll_secs)
+            # interruptible poll: a stop during the idle wait exits
+            # immediately instead of after up to poll_secs
+            self._stop_event.wait(timeout=self.args.poll_secs)
 
 
 def main(argv=None) -> int:
@@ -637,11 +667,23 @@ def main(argv=None) -> int:
 
     compcache.enable()
     server = SlideServer(args)
+    import signal
+
+    try:
+        # supervisors (systemd/k8s) stop with SIGTERM: drain the slide
+        # in flight, record it, exit 0 — not a mid-slide kill
+        prev = signal.signal(signal.SIGTERM,
+                             lambda s, f: server.request_stop())
+    except ValueError:  # not the main thread (in-process callers/tests)
+        prev = None
     try:
         return server.run()
     except KeyboardInterrupt:
         print("serve: interrupted — state is durable, restart resumes")
         return 0
+    finally:
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
 
 
 if __name__ == "__main__":

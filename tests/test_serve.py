@@ -397,3 +397,53 @@ def test_serve_mesh_int8_matches_single_device(slide_tree, tmp_path):
     assert r1.keys() == r8.keys()
     for name in r1:
         np.testing.assert_allclose(r1[name], r8[name], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_serve_graceful_stop_finishes_inflight_slide(slide_tree, tmp_path,
+                                                     monkeypatch):
+    """A stop request (the SIGTERM handler's action) must finish the
+    slide in flight, record it durably, exit 0 — and leave the rest of
+    the backlog for the next start, which resumes it exactly."""
+    import threading
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        serve,
+    )
+
+    tree, _ = slide_tree
+    out = str(tmp_path / "serve_out")
+
+    # request stop from inside the first slide's processing — the drain
+    # loop must still complete that slide, then abandon the backlog
+    orig = serve.SlideServer.process
+
+    def stop_after_first(self, path, builder=None):
+        ok = orig(self, path, builder=builder)
+        self.request_stop()
+        return ok
+
+    monkeypatch.setattr(serve.SlideServer, "process", stop_after_first)
+
+    argv = ["--watch_dir", str(tree / "slides"), "--out_root", out] + [
+        a for a in COMMON if a != "--once"]
+    args = serve.build_argparser().parse_args(argv)
+    server = serve.SlideServer(args)
+    # backstop: a regression that never processes a slide must fail the
+    # test via this timer instead of hanging the (once-less) daemon loop
+    backstop = threading.Timer(300, server.request_stop)
+    backstop.start()
+    try:
+        rc = server.run()
+    finally:
+        backstop.cancel()
+    assert rc == 0
+    rows = _rows(out)
+    assert len(rows) == 1  # in-flight slide finished and recorded
+    with open(os.path.join(out, "processed.txt")) as f:
+        assert len(f.read().split()) == 1
+
+    # restart drains exactly the remaining backlog, no double-processing
+    monkeypatch.setattr(serve.SlideServer, "process", orig)
+    assert _run(argv + ["--once"]) == 0
+    assert len(_rows(out)) == 3
