@@ -33,7 +33,7 @@ from ..data.loader import sample_data
 from ..models import attention_mil as amil
 from ..parallel import steps
 from ..utils import helpers, plots, profiling
-from . import DIVERGED_EXIT, checkpoint, schedule
+from . import DIVERGED_EXIT, PreemptionLatch, checkpoint, schedule
 
 TARGET_NAMES = ["A", "B", "C"]
 
@@ -817,26 +817,38 @@ def main(argv=None):
 
     if vis_samples:
         driver.visualize(0, vis_samples[0][0], mode=vis_samples[0][1])
-    for ep in range(args.epoch_start, args.epoch_end + 1):
-        epoch_stats = {}
-        # --profile: device trace of the first trained epoch only — traces
-        # grow with wall time, one epoch answers "where do steps go"
-        trace_ctx = (profiling.trace(os.path.join(output_dir, "profile"))
-                     if args.profile and ep == args.epoch_start
-                     else contextlib.nullcontext())
-        with trace_ctx:
-            keep_going = driver.train_epoch(ep, dataset, epoch_stats)
-        if not keep_going:
-            break  # Stop stage
-        if ep % 5 == 0:
-            driver.validate(ep, dataset, epoch_stats)
-            helpers.savestats(args, output_dir, ep, epoch_stats)
-            plots.plot_gbm_metrics(output_dir, args.tag)
-        if ep % 10 == 0:
-            for b, m in vis_samples:
-                driver.visualize(ep, b, mode=m)
-        if tb_writer is not None:
-            tb_writer.log_epoch(ep, epoch_stats)
+    latch = PreemptionLatch().install()
+    try:
+        for ep in range(args.epoch_start, args.epoch_end + 1):
+            epoch_stats = {}
+            # --profile: device trace of the first trained epoch only —
+            # traces grow with wall time, one epoch answers "where do
+            # steps go"
+            trace_ctx = (profiling.trace(os.path.join(output_dir,
+                                                      "profile"))
+                         if args.profile and ep == args.epoch_start
+                         else contextlib.nullcontext())
+            with trace_ctx:
+                keep_going = driver.train_epoch(ep, dataset, epoch_stats)
+            if not keep_going:
+                break  # Stop stage
+            if ep % 5 == 0:
+                driver.validate(ep, dataset, epoch_stats)
+                helpers.savestats(args, output_dir, ep, epoch_stats)
+                plots.plot_gbm_metrics(output_dir, args.tag)
+            if ep % 10 == 0:
+                for b, m in vis_samples:
+                    driver.visualize(ep, b, mode=m)
+            if tb_writer is not None:
+                tb_writer.log_epoch(ep, epoch_stats)
+            if latch.stop_requested():
+                # epoch ep's checkpoint is already submitted; the wait()
+                # below makes it durable before the clean exit
+                print(f"train: preempted — stopped after epoch {ep}; "
+                      f"resume with --ckpt auto --epoch_start {ep + 1}")
+                break
+    finally:
+        latch.restore()
     if tb_writer is not None:
         tb_writer.close()
     driver.ckpt_writer.wait()  # the last epoch's checkpoint must be durable

@@ -39,7 +39,7 @@ from ..models import blocks, disc_extractor
 from ..models import stylegan as sg
 from ..parallel import steps
 from ..utils import helpers
-from . import DIVERGED_EXIT, Diverged, checkpoint, gan
+from . import DIVERGED_EXIT, Diverged, PreemptionLatch, checkpoint, gan
 
 # per-group LR multipliers (reference: gbm/classify.py:368-373); "cnn" is
 # inert here because the discriminator extractor is frozen
@@ -327,16 +327,24 @@ def main(argv=None):
         return 0
 
     global_steps = 0
+    latch = PreemptionLatch().install()
     try:
         for epoch in range(args.epoch_start, args.epoch_end):
             state, global_steps = train_epoch(args, epoch, dataset, state,
                                               fns, writer, global_steps)
             validate(args, epoch, dataset, state, fns, writer)
+            if latch.stop_requested():
+                # train_epoch saved this epoch's checkpoint (sync);
+                # same graceful-preemption contract as the main driver
+                print(f"train: preempted — stopped after epoch {epoch}")
+                break
     except Diverged as e:
         # same supervisor-visible exit contract as the main driver and
         # the GAN trainer: divergence is exit DIVERGED_EXIT, not 0/crash
         print(f"FATAL: {e}", file=sys.stderr)
         return DIVERGED_EXIT
+    finally:
+        latch.restore()
     return 0
 
 

@@ -31,7 +31,7 @@ import optax
 from ..data.gan_dataset import ImageFolderDataset, MultiResolutionStore
 from ..data.loader import prefetch_iter
 from ..models import stylegan as sg
-from . import DIVERGED_EXIT, Diverged, checkpoint
+from . import DIVERGED_EXIT, Diverged, PreemptionLatch, checkpoint
 
 STEP_BATCH_SIZE = {4: 256, 8: 256, 16: 256, 32: 256, 64: 256, 128: 128,
                    256: 128, 512: 100}  # reference: train.py:61
@@ -556,6 +556,7 @@ def train_gan(args):
     # them. Safe: params_g/params_d/opt_*/g_running are rebound, never
     # mutated, and no step donates their buffers.
     ckpt_writer = checkpoint.AsyncCheckpointer()
+    latch = PreemptionLatch().install()
     for epoch in range(args.epoch_start, args.epochs):
         step = min(init_step + epoch // args.step_every, max_step)
         final_progress = (init_step + epoch // args.step_every) >= max_step
@@ -700,6 +701,7 @@ def train_gan(args):
                 f"(G {gen_loss}, D {disc_loss}, GP {gp}); halted "
                 "WITHOUT checkpointing — resume from the previous "
                 "epoch's checkpoint")
+            latch.restore()  # the halt path skips the loop-exit restore
             try:
                 ckpt_writer.wait()  # last healthy epoch's write must land
             except Exception as exc:
@@ -723,6 +725,14 @@ def train_gan(args):
             save_gan_checkpoint,
             os.path.join(ckpt_dir, f"train_step-{epoch}.model"),
             params_g, params_d, opt_g, opt_d, g_running)
+        if latch.stop_requested():
+            # this epoch's 5-part checkpoint is already submitted; the
+            # wait() below makes it durable before the clean exit
+            print(f"train: preempted — stopped after epoch {epoch}; "
+                  f"resume with --ckpt ...train_step-{epoch}.model "
+                  f"--epoch_start {epoch + 1}")
+            break
+    latch.restore()
     ckpt_writer.wait()  # the final epoch's checkpoint must be durable
     return params_g, params_d, g_running
 

@@ -1007,3 +1007,89 @@ def test_legacy_resume_is_bit_exact(synthetic_tree, tmp_path, monkeypatch):
     assert ap
     for k, va in ap.items():
         np.testing.assert_array_equal(va, b[k], err_msg=k)
+
+
+@pytest.mark.slow
+def test_classify_preemption_latch_stops_at_epoch_boundary(
+        synthetic_tree, tmp_path, monkeypatch):
+    """A stop request (the SIGTERM handler's action) must end the run
+    after the current epoch WITH its checkpoint durable and exit 0;
+    --ckpt auto then resumes from exactly that boundary."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu import (
+        train,
+    )
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    base = ["--tag", "PREEMPT", "--arch", "tiny", "--resolution", "16",
+            "--accum", "2", "--data_root", str(synthetic_tree),
+            "--image_dir", "slides",
+            "--label_sheet", str(synthetic_tree / "clusters.csv"),
+            "--output_root", str(out_root), "--f32", "--seed", "5"]
+
+    class AlwaysStop(train.PreemptionLatch):
+        def stop_requested(self):
+            return True
+
+    monkeypatch.setattr(classify, "PreemptionLatch", AlwaysStop)
+    rc = classify.main(base + ["--epoch_start", "0", "--epoch_end", "3"])
+    assert rc == 0
+    run = out_root / "run_PREEMPT"
+    ckpts = sorted(f for f in os.listdir(run) if f.endswith(".model"))
+    assert ckpts == ["train_step-000.model"]  # stopped AFTER epoch 0
+
+    # resume completes the remaining epochs from the durable boundary
+    monkeypatch.setattr(classify, "PreemptionLatch",
+                        train.PreemptionLatch)
+    rc = classify.main(base + ["--ckpt", "auto", "--epoch_start", "1",
+                               "--epoch_end", "3"])
+    assert rc == 0
+    ckpts = sorted(f for f in os.listdir(run) if f.endswith(".model"))
+    assert ckpts[-1] == "train_step-003.model" and len(ckpts) == 4
+
+
+@pytest.mark.slow
+def test_classify_real_sigterm_exits_zero_with_durable_checkpoint(
+        synthetic_tree, tmp_path, monkeypatch):
+    """End-to-end: a REAL SIGTERM mid-run (what a batch scheduler sends)
+    exits 0 after the in-flight epoch instead of dying mid-epoch."""
+    import signal
+    import threading
+
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        classify,
+    )
+
+    _patch_roi32(monkeypatch)
+    out_root = tmp_path / "runs"
+    out_root.mkdir()
+    # many cheap epochs so the signal always lands mid-run; the timer
+    # fires after the first epoch's compile completes
+    timer = threading.Timer(
+        12.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        rc = classify.main([
+            "--tag", "SIGTERM", "--arch", "tiny", "--resolution", "16",
+            "--epoch_start", "0", "--epoch_end", "500", "--accum", "2",
+            "--data_root", str(synthetic_tree), "--image_dir", "slides",
+            "--label_sheet", str(synthetic_tree / "clusters.csv"),
+            "--output_root", str(out_root), "--f32", "--seed", "5"])
+    finally:
+        timer.cancel()
+    assert rc == 0
+    run = out_root / "run_SIGTERM"
+    ckpts = sorted(f for f in os.listdir(run) if f.endswith(".model"))
+    # stopped early (not all 501 epochs) with >= 1 durable checkpoint
+    assert 1 <= len(ckpts) < 501
+    # the newest checkpoint loads cleanly (durable, not torn)
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        checkpoint,
+    )
+
+    blob = checkpoint.load_raw(str(run / ckpts[-1]))
+    assert any(k.startswith("classifier/") for k in blob)
