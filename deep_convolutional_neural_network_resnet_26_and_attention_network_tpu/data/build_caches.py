@@ -72,7 +72,11 @@ def main(argv=None):
         print(f"no slides match {args.glob} under {root}", file=sys.stderr)
         return 2
 
-    params = {}
+    # This CLI is a host preprocessing tool: force the host/C++ tissue
+    # filter in BOTH the serial and parallel paths, so (a) the prebuild
+    # never opens an accelerator client, and (b) serial and parallel
+    # builds run the same filter arithmetic and stay byte-identical.
+    params = {"host_filter": True}
     if args.roi_size:
         params["roi_size"] = args.roi_size
 
@@ -86,11 +90,10 @@ def main(argv=None):
         # which does not survive fork. Workers import the package fresh
         # (imports are device-free by contract — test_import_purity) and
         # keep filtering on host/C++ via host_filter.
-        wparams = dict(params, host_filter=True)
         ctx = mp.get_context("spawn")
         pool = ctx.Pool(min(args.workers, len(files)))
         results = pool.imap_unordered(
-            _StarBuild(wparams), files, chunksize=1)
+            _StarBuild(dict(params)), files, chunksize=1)
 
     done = 0
     for name, ntiles, was_cached, secs, err in results:

@@ -67,8 +67,12 @@ class RoiBuilder:
         self.loud = loud
         self._rng = rng or np.random.default_rng()
         self._resolution = None
-        self._train_rng = jax.random.PRNGKey(
-            int(self._rng.integers(0, 2**31 - 1)))
+        # jax.random.PRNGKey initializes a backend client, so the key is
+        # built lazily on the first get_train_data() — cache-only builds
+        # (data.build_caches workers, N spawned processes) must never open
+        # a device client just by constructing a RoiBuilder
+        self._train_seed = int(self._rng.integers(0, 2**31 - 1))
+        self._train_rng = None
 
         if os.path.isfile(self.params["data_cache"]):
             raster = np.load(self.params["coor_cache"])
@@ -90,8 +94,8 @@ class RoiBuilder:
         bit-exact elastic resume."""
         ss = np.random.SeedSequence(list(entropy))
         self._rng = np.random.default_rng(ss)
-        self._train_rng = jax.random.PRNGKey(
-            int(ss.generate_state(1)[0] & 0x7FFFFFFF))
+        self._train_seed = int(ss.generate_state(1)[0] & 0x7FFFFFFF)
+        self._train_rng = None  # rebuilt lazily from the new seed
 
     # ------------------------------------------------------------------
     # Generic accessors (reference: RoiBuilder.py:89-102)
@@ -229,6 +233,8 @@ class RoiBuilder:
             data = np.asarray(data)
         if len(data) == 0:
             return self._empty_bag()
+        if self._train_rng is None:
+            self._train_rng = jax.random.PRNGKey(self._train_seed)
         self._train_rng, sub = jax.random.split(self._train_rng)
         # Pad(100) at roi 1200 like the reference (RoiBuilder.py:195); for
         # other tile sizes the jitter scales proportionally — a fixed 100px

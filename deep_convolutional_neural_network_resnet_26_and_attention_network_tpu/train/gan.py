@@ -557,182 +557,190 @@ def train_gan(args):
     # mutated, and no step donates their buffers.
     ckpt_writer = checkpoint.AsyncCheckpointer()
     latch = PreemptionLatch().install()
-    for epoch in range(args.epoch_start, args.epochs):
-        step = min(init_step + epoch // args.step_every, max_step)
-        final_progress = (init_step + epoch // args.step_every) >= max_step
-        resolution = 4 * 2 ** step
-        batch = args.batch_override or STEP_BATCH_SIZE.get(resolution, 32)
-        lr = lr_sched.get(resolution, args.lr)
-        dataset.NewResolution(resolution, batch)
-        # epoch-derived streams — the same bit-exact-resume recipe as the
-        # classifier (train/classify.py::epoch_key): batch order, style
-        # mixing coin flips/crossovers, and every jax key for epoch E are
-        # pure functions of (seed, E), so resuming from the epoch E-1
-        # checkpoint replays epoch E exactly
-        if hasattr(dataset, "reseed"):
-            dataset.reseed(args.seed, epoch)
-        # plain arithmetic, not hash(): str hashing is salted per process
-        py_rng = py_random.Random(args.seed * 1_000_003 + epoch * 7919 + 1)
-        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+    # try/finally like the other two trainers (classify.py,
+    # classify_legacy.py): ANY exit — Diverged, the zero-batches or
+    # mesh-divisibility RuntimeError, a KeyboardInterrupt — must restore
+    # the default SIGTERM handler, or in-process callers (tests,
+    # tools/gan_convergence_run.py) are left with a handler pointing at
+    # a dead latch and silently lose SIGTERM termination afterwards.
+    try:
+        for epoch in range(args.epoch_start, args.epochs):
+            step = min(init_step + epoch // args.step_every, max_step)
+            final_progress = (init_step + epoch // args.step_every) >= max_step
+            resolution = 4 * 2 ** step
+            batch = args.batch_override or STEP_BATCH_SIZE.get(resolution, 32)
+            lr = lr_sched.get(resolution, args.lr)
+            dataset.NewResolution(resolution, batch)
+            # epoch-derived streams — the same bit-exact-resume recipe as the
+            # classifier (train/classify.py::epoch_key): batch order, style
+            # mixing coin flips/crossovers, and every jax key for epoch E are
+            # pure functions of (seed, E), so resuming from the epoch E-1
+            # checkpoint replays epoch E exactly
+            if hasattr(dataset, "reseed"):
+                dataset.reseed(args.seed, epoch)
+            # plain arithmetic, not hash(): str hashing is salted per process
+            py_rng = py_random.Random(args.seed * 1_000_003 + epoch * 7919 + 1)
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
 
-        if step not in step_fns:
-            cdt = (jnp.bfloat16 if getattr(args, "compute_dtype", "f32")
-                   == "bf16" else None)
-            rm = getattr(args, "remat", False)
-            ga = getattr(args, "grad_accum", 1)
-            step_fns[step] = (
-                make_d_step(step, width_mult=width,
-                            from_rgb_activate=from_rgb_activate,
-                            loss_kind=args.loss, tx=tx, compute_dtype=cdt,
-                            remat=rm, grad_accum=ga),
-                make_g_step(step, width_mult=width,
-                            from_rgb_activate=from_rgb_activate,
-                            loss_kind=args.loss, tx=tx, compute_dtype=cdt,
-                            remat=rm, grad_accum=ga),
-            )
-        d_step, g_step = step_fns[step]
+            if step not in step_fns:
+                cdt = (jnp.bfloat16 if getattr(args, "compute_dtype", "f32")
+                       == "bf16" else None)
+                rm = getattr(args, "remat", False)
+                ga = getattr(args, "grad_accum", 1)
+                step_fns[step] = (
+                    make_d_step(step, width_mult=width,
+                                from_rgb_activate=from_rgb_activate,
+                                loss_kind=args.loss, tx=tx, compute_dtype=cdt,
+                                remat=rm, grad_accum=ga),
+                    make_g_step(step, width_mult=width,
+                                from_rgb_activate=from_rgb_activate,
+                                loss_kind=args.loss, tx=tx, compute_dtype=cdt,
+                                remat=rm, grad_accum=ga),
+                )
+            d_step, g_step = step_fns[step]
 
-        # used_sample (and with it the alpha fade-in) resets EVERY epoch,
-        # exactly like the vendored reference (train.py:80 zeroes it inside
-        # the per-epoch train()); with step_every > 1 the blend saw-tooths
-        # within a resolution phase — reference behavior, kept for parity
-        used_sample = 0
-        alpha = 1.0
-        disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)
-        t0 = time.time()
-        n_batches = 0
-        profiling_this_epoch = (getattr(args, "profile", False)
-                                and epoch == args.epoch_start)
-        if profiling_this_epoch:
-            from ..utils import profiling
+            # used_sample (and with it the alpha fade-in) resets EVERY epoch,
+            # exactly like the vendored reference (train.py:80 zeroes it inside
+            # the per-epoch train()); with step_every > 1 the blend saw-tooths
+            # within a resolution phase — reference behavior, kept for parity
+            used_sample = 0
+            alpha = 1.0
+            disc_loss_dev = gp_dev = gen_loss_dev = jnp.float32(0.0)
+            t0 = time.time()
+            n_batches = 0
+            profiling_this_epoch = (getattr(args, "profile", False)
+                                    and epoch == args.epoch_start)
+            if profiling_this_epoch:
+                from ..utils import profiling
 
-            timer = profiling.StepTimer()
-            trace_ctx = profiling.trace(
-                os.path.join(args.output_dir, "profile"))
-        else:
-            timer = trace_ctx = None
+                timer = profiling.StepTimer()
+                trace_ctx = profiling.trace(
+                    os.path.join(args.output_dir, "profile"))
+            else:
+                timer = trace_ctx = None
 
-        with (trace_ctx if trace_ctx is not None else _ctx.nullcontext()):
-            # background prefetch overlaps decode + H2D with the device
-            # steps (the reference used DataLoader workers)
-            for i, real in enumerate(prefetch_iter(dataset.batches())):
-                n_batches += 1
-                if args.max_batches and i >= args.max_batches:
-                    break
-                b = real.shape[0]
-                alpha = (1.0 if (resolution == args.init_size
-                                 and not args.ckpt) or final_progress
-                         else min(1.0, (used_sample + 1) / args.phase))
-                used_sample += b
+            with (trace_ctx if trace_ctx is not None else _ctx.nullcontext()):
+                # background prefetch overlaps decode + H2D with the device
+                # steps (the reference used DataLoader workers)
+                for i, real in enumerate(prefetch_iter(dataset.batches())):
+                    n_batches += 1
+                    if args.max_batches and i >= args.max_batches:
+                        break
+                    b = real.shape[0]
+                    alpha = (1.0 if (resolution == args.init_size
+                                     and not args.ckpt) or final_progress
+                             else min(1.0, (used_sample + 1) / args.phase))
+                    used_sample += b
 
-                if mesh is not None:
-                    if b % args.mesh:
-                        # unreachable after the startup schedule check;
-                        # kept as a belt vs future schedule edits
-                        raise RuntimeError(
-                            f"batch {b} not divisible over --mesh "
-                            f"{args.mesh}; pick --batch_override as a "
-                            "multiple")
-                    real = jax.device_put(real, batch_shard)
-
-                with (timer.step() if timer is not None
-                      else _ctx.nullcontext()):
-                    rng, k_z, k_d_step, k_z2, k_g_step = \
-                        jax.random.split(rng, 5)
-                    mixing = args.mixing and py_rng.random() < 0.9
-                    zs = jax.random.normal(k_z, (2, b, args.code_size))
                     if mesh is not None:
-                        zs = jax.device_put(zs, style_shard)
-                    sel = jnp.asarray(sg.sample_style_sel(
-                        py_rng, 2 if mixing else 1, step, n_blocks),
-                        jnp.int32)
+                        if b % args.mesh:
+                            # unreachable after the startup schedule check;
+                            # kept as a belt vs future schedule edits
+                            raise RuntimeError(
+                                f"batch {b} not divisible over --mesh "
+                                f"{args.mesh}; pick --batch_override as a "
+                                "multiple")
+                        real = jax.device_put(real, batch_shard)
 
-                    params_d, opt_d, aux = d_step(
-                        params_d, opt_d, params_g, real, zs, sel,
-                        jnp.float32(alpha), jnp.float32(lr), k_d_step)
-                    # metrics stay on device; fetch once per epoch
-                    disc_loss_dev = aux["disc_loss"]
-                    gp_dev = aux["grad_penalty"]
-
-                    if (i + 1) % args.n_critic == 0:
+                    with (timer.step() if timer is not None
+                          else _ctx.nullcontext()):
+                        rng, k_z, k_d_step, k_z2, k_g_step = \
+                            jax.random.split(rng, 5)
                         mixing = args.mixing and py_rng.random() < 0.9
-                        zs2 = jax.random.normal(k_z2,
-                                                (2, b, args.code_size))
+                        zs = jax.random.normal(k_z, (2, b, args.code_size))
                         if mesh is not None:
-                            zs2 = jax.device_put(zs2, style_shard)
-                        sel2 = jnp.asarray(sg.sample_style_sel(
+                            zs = jax.device_put(zs, style_shard)
+                        sel = jnp.asarray(sg.sample_style_sel(
                             py_rng, 2 if mixing else 1, step, n_blocks),
                             jnp.int32)
-                        params_g, opt_g, g_running, gl = g_step(
-                            params_g, opt_g, g_running, params_d, zs2,
-                            sel2, jnp.float32(alpha), jnp.float32(lr),
-                            k_g_step)
-                        gen_loss_dev = gl
-                    if timer is not None:
-                        # dispatch is async: the timed region must end in
-                        # a host fetch or it measures enqueue time only
-                        float(disc_loss_dev)
 
-        if timer is not None:
-            s = timer.summary()
-            if s.get("steps"):
-                # throughput from the timed (post-warmup) batches only —
-                # the first batch of this epoch pays jit compilation
-                print(f"profile: {s['steps']} timed batches, "
-                      f"p50 {s['p50_s'] * 1e3:.0f} ms, "
-                      f"p90 {s['p90_s'] * 1e3:.0f} ms, "
-                      f"{s['steps'] * batch / max(s['total_s'], 1e-9):.1f} "
-                      "imgs/s (excl. compile); trace in "
-                      f"{os.path.join(args.output_dir, 'profile')}")
-        if n_batches == 0:
-            raise RuntimeError(
-                f"epoch {epoch}: zero batches at batch size {batch} over "
-                f"{len(dataset)} images (batches drop ragged tails). Pass "
-                "--batch_override with a size <= the dataset size.")
-        gen_loss, disc_loss, gp = (float(gen_loss_dev), float(disc_loss_dev),
-                                   float(gp_dev))
-        if not all(map(math.isfinite, (gen_loss, disc_loss, gp))):
-            # failure detection, same contract as the classifier's NaN
-            # guard: halt WITHOUT checkpointing the poisoned epoch so the
-            # newest checkpoint on disk stays the last healthy one;
-            # main() converts this to exit code DIVERGED_EXIT
-            halt = Diverged(
-                f"non-finite GAN losses at epoch {epoch} "
-                f"(G {gen_loss}, D {disc_loss}, GP {gp}); halted "
-                "WITHOUT checkpointing — resume from the previous "
-                "epoch's checkpoint")
-            latch.restore()  # the halt path skips the loop-exit restore
-            try:
-                ckpt_writer.wait()  # last healthy epoch's write must land
-            except Exception as exc:
-                # a failed pending write must not mask the divergence
-                # diagnosis (main() keys DIVERGED_EXIT off this type)
-                raise halt from exc
-            raise halt
-        print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "
-              f"G {gen_loss:.3f}; D {disc_loss:.3f}; GP {gp:.3f}; "
-              f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")
+                        params_d, opt_d, aux = d_step(
+                            params_d, opt_d, params_g, real, zs, sel,
+                            jnp.float32(alpha), jnp.float32(lr), k_d_step)
+                        # metrics stay on device; fetch once per epoch
+                        disc_loss_dev = aux["disc_loss"]
+                        gp_dev = aux["grad_penalty"]
 
-        # EMA sample grid + 5-part checkpoint (reference: train.py:166-218)
-        rng, k_s, k_n = jax.random.split(rng, 3)
-        zs = jax.random.normal(k_s, (1, min(16, batch), args.code_size))
-        noise = sg.make_noise(k_n, zs.shape[1], step)
-        imgs = sg.apply_styled_generator(
-            g_running, zs, noise, step=step, alpha=1.0, width_mult=width)
-        save_image_grid(imgs, os.path.join(
-            sample_dir, f"e{epoch}_gen.png"), nrow=4)
-        ckpt_writer.submit(
-            save_gan_checkpoint,
-            os.path.join(ckpt_dir, f"train_step-{epoch}.model"),
-            params_g, params_d, opt_g, opt_d, g_running)
-        if latch.stop_requested():
-            # this epoch's 5-part checkpoint is already submitted; the
-            # wait() below makes it durable before the clean exit
-            print(f"train: preempted — stopped after epoch {epoch}; "
-                  f"resume with --ckpt ...train_step-{epoch}.model "
-                  f"--epoch_start {epoch + 1}")
-            break
-    latch.restore()
+                        if (i + 1) % args.n_critic == 0:
+                            mixing = args.mixing and py_rng.random() < 0.9
+                            zs2 = jax.random.normal(k_z2,
+                                                    (2, b, args.code_size))
+                            if mesh is not None:
+                                zs2 = jax.device_put(zs2, style_shard)
+                            sel2 = jnp.asarray(sg.sample_style_sel(
+                                py_rng, 2 if mixing else 1, step, n_blocks),
+                                jnp.int32)
+                            params_g, opt_g, g_running, gl = g_step(
+                                params_g, opt_g, g_running, params_d, zs2,
+                                sel2, jnp.float32(alpha), jnp.float32(lr),
+                                k_g_step)
+                            gen_loss_dev = gl
+                        if timer is not None:
+                            # dispatch is async: the timed region must end in
+                            # a host fetch or it measures enqueue time only
+                            float(disc_loss_dev)
+
+            if timer is not None:
+                s = timer.summary()
+                if s.get("steps"):
+                    # throughput from the timed (post-warmup) batches only —
+                    # the first batch of this epoch pays jit compilation
+                    print(f"profile: {s['steps']} timed batches, "
+                          f"p50 {s['p50_s'] * 1e3:.0f} ms, "
+                          f"p90 {s['p90_s'] * 1e3:.0f} ms, "
+                          f"{s['steps'] * batch / max(s['total_s'], 1e-9):.1f} "
+                          "imgs/s (excl. compile); trace in "
+                          f"{os.path.join(args.output_dir, 'profile')}")
+            if n_batches == 0:
+                raise RuntimeError(
+                    f"epoch {epoch}: zero batches at batch size {batch} over "
+                    f"{len(dataset)} images (batches drop ragged tails). Pass "
+                    "--batch_override with a size <= the dataset size.")
+            gen_loss, disc_loss, gp = (float(gen_loss_dev), float(disc_loss_dev),
+                                       float(gp_dev))
+            if not all(map(math.isfinite, (gen_loss, disc_loss, gp))):
+                # failure detection, same contract as the classifier's NaN
+                # guard: halt WITHOUT checkpointing the poisoned epoch so the
+                # newest checkpoint on disk stays the last healthy one;
+                # main() converts this to exit code DIVERGED_EXIT
+                halt = Diverged(
+                    f"non-finite GAN losses at epoch {epoch} "
+                    f"(G {gen_loss}, D {disc_loss}, GP {gp}); halted "
+                    "WITHOUT checkpointing — resume from the previous "
+                    "epoch's checkpoint")
+                # (latch restore happens in the loop's finally)
+                try:
+                    ckpt_writer.wait()  # last healthy epoch's write must land
+                except Exception as exc:
+                    # a failed pending write must not mask the divergence
+                    # diagnosis (main() keys DIVERGED_EXIT off this type)
+                    raise halt from exc
+                raise halt
+            print(f"Epoch {epoch}: res {resolution}; samples {used_sample}; "
+                  f"G {gen_loss:.3f}; D {disc_loss:.3f}; GP {gp:.3f}; "
+                  f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")
+
+            # EMA sample grid + 5-part checkpoint (reference: train.py:166-218)
+            rng, k_s, k_n = jax.random.split(rng, 3)
+            zs = jax.random.normal(k_s, (1, min(16, batch), args.code_size))
+            noise = sg.make_noise(k_n, zs.shape[1], step)
+            imgs = sg.apply_styled_generator(
+                g_running, zs, noise, step=step, alpha=1.0, width_mult=width)
+            save_image_grid(imgs, os.path.join(
+                sample_dir, f"e{epoch}_gen.png"), nrow=4)
+            ckpt_writer.submit(
+                save_gan_checkpoint,
+                os.path.join(ckpt_dir, f"train_step-{epoch}.model"),
+                params_g, params_d, opt_g, opt_d, g_running)
+            if latch.stop_requested():
+                # this epoch's 5-part checkpoint is already submitted; the
+                # wait() below makes it durable before the clean exit
+                print(f"train: preempted — stopped after epoch {epoch}; "
+                      f"resume with --ckpt ...train_step-{epoch}.model "
+                      f"--epoch_start {epoch + 1}")
+                break
+    finally:
+        latch.restore()
     ckpt_writer.wait()  # the final epoch's checkpoint must be durable
     return params_g, params_d, g_running
 
