@@ -573,6 +573,11 @@ class Driver:
         # (train_mode) stages a nonzero count marks this epoch's validation
         # stats as mixed-mode (streamed slides skipped the stochastic path)
         epoch_stats["valid_streamed_bags"] = n_streamed
+        # record the SetStage(test=True) eval-mode flip (reference:
+        # gbm/classify_combined.py:123-134 — eval only from Check on) so
+        # the stage machine's mode transitions are observable in the
+        # summary artifacts
+        epoch_stats["valid_eval_mode"] = not stage.train_mode
         print(f"V: Loss {epoch_stats['valid_loss']:.3f}; "
               f"Error {100 * epoch_stats['valid_err']:.2f}%")
 

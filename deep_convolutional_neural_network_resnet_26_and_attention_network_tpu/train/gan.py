@@ -260,9 +260,20 @@ def make_g_loss(step: int, *, width_mult: float, from_rgb_activate: bool,
 
 def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
                 loss_kind: str = "wgan-gp", tx=None, compute_dtype=None,
-                remat: bool = False, grad_accum: int = 1):
+                remat: bool = False, grad_accum: int = 1,
+                ema_decay: float = 0.999):
+    """``ema_decay``: g_running decay (reference train.py:27-32 hardcodes
+    0.999). g_running starts as a COPY of the live generator, so after t
+    generator steps a 0.999^t fraction of the EMA is still the *initial
+    random* generator — negligible in the reference's 100k+-step
+    production runs, but a ~960-step convergence run retains 0.999^960 ≈
+    0.38 of init mass, which is why short-run artifacts show g_running
+    trailing the live generator (PROFILE.md "g_running EMA lag"). Short
+    runs should pass a faster decay (e.g. 0.99 → init mass 6e-5)."""
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    if not 0.0 <= ema_decay < 1.0:
+        raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
     tx = tx or make_optimizers(0.001)
     g_loss_fn = make_g_loss(step, width_mult=width_mult,
                             from_rgb_activate=from_rgb_activate,
@@ -291,7 +302,7 @@ def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
         updates = jax.tree_util.tree_map(lambda u, m: -lr * m * u,
                                          updates, mask)
         params_g = optax.apply_updates(params_g, updates)
-        ema = accumulate(ema, params_g)
+        ema = accumulate(ema, params_g, ema_decay)
         return params_g, opt_g, ema, loss
 
     return jax.jit(g_step)
@@ -421,11 +432,17 @@ def build_argparser():
                    help="checkpoint every G/D progression block "
                         "(jax.checkpoint); measured on v5e: does NOT "
                         "move the 512px WGAN-GP boundary (the double-"
-                        "backward conv temps bind) and costs ~22% "
+                        "backward conv temps bind) and costs ~22%% "
                         "imgs/s where both fit — its one measured win "
                         "is f32 @ 1024px (batch 4 fits only with it); "
                         "prefer --grad_accum elsewhere "
                         "(GAN512/1024_r04.jsonl)")
+    p.add_argument("--ema_decay", type=float, default=0.999,
+                   help="g_running EMA decay (reference train.py:27-32 "
+                        "hardcodes 0.999; short runs keep 0.999^t of the "
+                        "initial RANDOM generator in the EMA — pass a "
+                        "faster decay, e.g. 0.99, when total generator "
+                        "steps are only a few thousand)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="accumulate gradients over N sequential "
                         "microbatches inside each jitted step (batch "
@@ -595,7 +612,8 @@ def train_gan(args):
                     make_g_step(step, width_mult=width,
                                 from_rgb_activate=from_rgb_activate,
                                 loss_kind=args.loss, tx=tx, compute_dtype=cdt,
-                                remat=rm, grad_accum=ga),
+                                remat=rm, grad_accum=ga,
+                                ema_decay=getattr(args, "ema_decay", 0.999)),
                 )
             d_step, g_step = step_fns[step]
 

@@ -861,3 +861,52 @@ def test_gan_nan_guard_halts_without_checkpoint(image_dir, tmp_path,
         gan.train_gan(args)
     assert not os.path.exists(os.path.join(out, "checkpoint",
                                            "train_step-0.model"))
+
+
+def test_g_step_ema_decay_knob():
+    """--ema_decay threads into g_running: decay 0.0 makes the EMA track
+    the live generator exactly after one step; the default 0.999 leaves
+    it ~unchanged from its previous value (init-mass arithmetic in
+    PROFILE.md "g_running EMA lag")."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    step = 1
+    k_g, k_d = jax.random.split(jax.random.PRNGKey(5))
+    params_g = sg.init_styled_generator(k_g, width_mult=WM)
+    params_d = sg.init_discriminator(k_d, width_mult=WM)
+    tx = gan.make_optimizers()
+    opt_g = tx.init(params_g)
+    n_blocks = len(sg._gen_layout(WM))
+    sel = jnp.zeros((n_blocks,), jnp.int32)
+    zs = jax.random.normal(jax.random.PRNGKey(6), (1, 2, 512))
+
+    outs = {}
+    for decay in (0.0, 0.999):
+        g_step = gan.make_g_step(step, width_mult=WM,
+                                 from_rgb_activate=True, tx=tx,
+                                 ema_decay=decay)
+        pg, _, ema, _ = g_step(params_g, opt_g, params_g, params_d, zs,
+                               sel, jnp.float32(1.0), jnp.float32(1e-3),
+                               jax.random.PRNGKey(7))
+        outs[decay] = (pg, ema)
+
+    pg0, ema0 = outs[0.0]
+    for a, b in zip(jax.tree_util.tree_leaves(ema0),
+                    jax.tree_util.tree_leaves(pg0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    pg1, ema1 = outs[0.999]
+    # decay 0.999 after ONE step: ema = 0.999*old + 0.001*new
+    la, lo, ln = (jax.tree_util.tree_leaves(ema1),
+                  jax.tree_util.tree_leaves(params_g),
+                  jax.tree_util.tree_leaves(pg1))
+    for a, o, n in zip(la, lo, ln):
+        np.testing.assert_allclose(np.asarray(a),
+                                   0.999 * np.asarray(o)
+                                   + 0.001 * np.asarray(n),
+                                   rtol=1e-5, atol=1e-7)
+
+    with pytest.raises(ValueError):
+        gan.make_g_step(step, width_mult=WM, from_rgb_activate=True,
+                        tx=tx, ema_decay=1.0)

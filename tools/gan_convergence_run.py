@@ -125,6 +125,13 @@ def main():
                          "accumulation (train.gan --grad_accum): "
                          "convergence-context evidence for the knob "
                          "beyond the one-step parity test")
+    ap.add_argument("--ema_decay", type=float, default=0.999,
+                    help="g_running decay (train.gan --ema_decay). The "
+                         "reference's 0.999 keeps 0.999^t of the INITIAL "
+                         "random generator in the EMA — a ~1k-step "
+                         "convergence run retains ~38% init mass, so "
+                         "judge g_running with 0.99 here or expect it to "
+                         "trail the live generator")
     args = ap.parse_args()
     width = (1 / 16) if args.tiny else args.width
     max_res = args.max_res or args.res
@@ -192,6 +199,7 @@ def main():
                    "--epochs", str(args.epochs),
                    "--batch_override", str(args.batch),
                    "--grad_accum", str(args.grad_accum),
+                   "--ema_decay", str(args.ema_decay),
                    "--width_mult", str(width), "--seed", "1"])
     wall = time.time() - t0
     if rc not in (0, None):
@@ -225,7 +233,7 @@ def main():
     record = {
         "converged": converged, "res": args.res, "max_res": max_res,
         "res_transitions": res_transitions, "step_every": step_every,
-        "grad_accum": args.grad_accum,
+        "grad_accum": args.grad_accum, "ema_decay": args.ema_decay,
         "width_mult": width,
         "epochs": args.epochs, "samples": args.n_images * args.epochs,
         "band_dist_init": round(d_init, 4),
