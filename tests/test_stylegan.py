@@ -863,6 +863,7 @@ def test_gan_nan_guard_halts_without_checkpoint(image_dir, tmp_path,
                                            "train_step-0.model"))
 
 
+@pytest.mark.slow
 def test_g_step_ema_decay_knob():
     """--ema_decay threads into g_running: decay 0.0 makes the EMA track
     the live generator exactly after one step; the default 0.999 leaves
