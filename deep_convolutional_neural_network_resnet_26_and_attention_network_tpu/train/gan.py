@@ -261,7 +261,7 @@ def make_g_loss(step: int, *, width_mult: float, from_rgb_activate: bool,
 def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
                 loss_kind: str = "wgan-gp", tx=None, compute_dtype=None,
                 remat: bool = False, grad_accum: int = 1,
-                ema_decay: float = 0.999):
+                ema_decay: float = 0.999, ema_warmup: bool = False):
     """``ema_decay``: g_running decay (reference train.py:27-32 hardcodes
     0.999). g_running starts as a COPY of the live generator, so after t
     generator steps a 0.999^t fraction of the EMA is still the *initial
@@ -269,7 +269,15 @@ def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
     production runs, but a ~960-step convergence run retains 0.999^960 ≈
     0.38 of init mass, which is why short-run artifacts show g_running
     trailing the live generator (PROFILE.md "g_running EMA lag"). Short
-    runs should pass a faster decay (e.g. 0.99 → init mass 6e-5)."""
+    runs should pass a faster decay (e.g. 0.99 → init mass 6e-5).
+
+    ``ema_warmup``: use the effective decay min(ema_decay, (1+t)/(10+t))
+    (tf ExponentialMovingAverage ``num_updates`` schedule), where t is the
+    optimizer step count — the first steps all but overwrite the random
+    init (t=1 → 0.18), and the horizon grows toward ``ema_decay``'s as
+    training proceeds, so ONE setting serves both short convergence runs
+    and long production runs. Off by default (= reference parity); resume
+    is seamless because t rides the restored Adam ``count``."""
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     if not 0.0 <= ema_decay < 1.0:
@@ -302,7 +310,13 @@ def make_g_step(step: int, *, width_mult: float, from_rgb_activate: bool,
         updates = jax.tree_util.tree_map(lambda u, m: -lr * m * u,
                                          updates, mask)
         params_g = optax.apply_updates(params_g, updates)
-        ema = accumulate(ema, params_g, ema_decay)
+        if ema_warmup:
+            # opt_g.count was just incremented by tx.update, so t >= 1
+            t = opt_g.count.astype(jnp.float32)
+            eff = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            ema = accumulate(ema, params_g, eff)
+        else:
+            ema = accumulate(ema, params_g, ema_decay)
         return params_g, opt_g, ema, loss
 
     return jax.jit(g_step)
@@ -443,6 +457,14 @@ def build_argparser():
                         "initial RANDOM generator in the EMA — pass a "
                         "faster decay, e.g. 0.99, when total generator "
                         "steps are only a few thousand)")
+    p.add_argument("--ema_warmup", action="store_true",
+                   help="warm up the g_running decay as "
+                        "min(--ema_decay, (1+t)/(10+t)) over optimizer "
+                        "steps t (tf-EMA num_updates schedule): the "
+                        "random init washes out immediately and long "
+                        "runs still converge to --ema_decay's horizon — "
+                        "one setting for short and production runs alike "
+                        "(default off = reference parity)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="accumulate gradients over N sequential "
                         "microbatches inside each jitted step (batch "
@@ -613,7 +635,9 @@ def train_gan(args):
                                 from_rgb_activate=from_rgb_activate,
                                 loss_kind=args.loss, tx=tx, compute_dtype=cdt,
                                 remat=rm, grad_accum=ga,
-                                ema_decay=getattr(args, "ema_decay", 0.999)),
+                                ema_decay=getattr(args, "ema_decay", 0.999),
+                                ema_warmup=getattr(args, "ema_warmup",
+                                                   False)),
                 )
             d_step, g_step = step_fns[step]
 

@@ -911,3 +911,51 @@ def test_g_step_ema_decay_knob():
     with pytest.raises(ValueError):
         gan.make_g_step(step, width_mult=WM, from_rgb_activate=True,
                         tx=tx, ema_decay=1.0)
+
+@pytest.mark.slow
+def test_g_step_ema_warmup_schedule():
+    """--ema_warmup uses effective decay min(ema_decay, (1+t)/(10+t)) over
+    the Adam step count t: the first step keeps only 2/11 of the random
+    init (vs 0.999 plain), so short runs' g_running is no longer anchored
+    to the untrained generator (PROFILE.md "g_running EMA lag")."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    step = 1
+    k_g, k_d = jax.random.split(jax.random.PRNGKey(15))
+    params_g = sg.init_styled_generator(k_g, width_mult=WM)
+    params_d = sg.init_discriminator(k_d, width_mult=WM)
+    tx = gan.make_optimizers()
+    opt_g = tx.init(params_g)
+    n_blocks = len(sg._gen_layout(WM))
+    sel = jnp.zeros((n_blocks,), jnp.int32)
+    zs = jax.random.normal(jax.random.PRNGKey(16), (1, 2, 512))
+
+    g_step = gan.make_g_step(step, width_mult=WM, from_rgb_activate=True,
+                             tx=tx, ema_decay=0.999, ema_warmup=True)
+
+    # step 1: t = 1 after the update -> eff = min(0.999, 2/11)
+    pg, og, ema, _ = g_step(params_g, opt_g, params_g, params_d, zs, sel,
+                            jnp.float32(1.0), jnp.float32(1e-3),
+                            jax.random.PRNGKey(17))
+    eff1 = 2.0 / 11.0
+    for a, o, n in zip(jax.tree_util.tree_leaves(ema),
+                       jax.tree_util.tree_leaves(params_g),
+                       jax.tree_util.tree_leaves(pg)):
+        np.testing.assert_allclose(
+            np.asarray(a), eff1 * np.asarray(o) + (1 - eff1) * np.asarray(n),
+            rtol=1e-5, atol=1e-6)
+
+    # step 2: t = 2 -> eff = min(0.999, 3/12); the schedule rides the
+    # restored optimizer count, so resume continues it seamlessly
+    pg2, _, ema2, _ = g_step(pg, og, ema, params_d, zs, sel,
+                             jnp.float32(1.0), jnp.float32(1e-3),
+                             jax.random.PRNGKey(18))
+    eff2 = 3.0 / 12.0
+    for a, e, n in zip(jax.tree_util.tree_leaves(ema2),
+                       jax.tree_util.tree_leaves(ema),
+                       jax.tree_util.tree_leaves(pg2)):
+        np.testing.assert_allclose(
+            np.asarray(a), eff2 * np.asarray(e) + (1 - eff2) * np.asarray(n),
+            rtol=1e-5, atol=1e-6)

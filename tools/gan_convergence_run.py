@@ -132,6 +132,10 @@ def main():
                          "convergence run retains ~38% init mass, so "
                          "judge g_running with 0.99 here or expect it to "
                          "trail the live generator")
+    ap.add_argument("--ema_warmup", action="store_true",
+                    help="pass --ema_warmup to train.gan: effective decay "
+                         "min(ema_decay, (1+t)/(10+t)) — the init washes "
+                         "out immediately at ANY --ema_decay")
     args = ap.parse_args()
     width = (1 / 16) if args.tiny else args.width
     max_res = args.max_res or args.res
@@ -200,7 +204,8 @@ def main():
                    "--batch_override", str(args.batch),
                    "--grad_accum", str(args.grad_accum),
                    "--ema_decay", str(args.ema_decay),
-                   "--width_mult", str(width), "--seed", "1"])
+                   "--width_mult", str(width), "--seed", "1"]
+                  + (["--ema_warmup"] if args.ema_warmup else []))
     wall = time.time() - t0
     if rc not in (0, None):
         print(json.dumps({"converged": False, "reason": f"trainer rc={rc}"}))
@@ -234,6 +239,7 @@ def main():
         "converged": converged, "res": args.res, "max_res": max_res,
         "res_transitions": res_transitions, "step_every": step_every,
         "grad_accum": args.grad_accum, "ema_decay": args.ema_decay,
+        "ema_warmup": args.ema_warmup,
         "width_mult": width,
         "epochs": args.epochs, "samples": args.n_images * args.epochs,
         "band_dist_init": round(d_init, 4),
