@@ -156,6 +156,44 @@ def _progress(msg: str):
           flush=True)
 
 
+def _device_liveness_gate(timeout_secs: float = 420.0) -> None:
+    """Refuse to hang on a wedged accelerator (observed failure mode on
+    the tunnel device: `jax.devices()` answers instantly while the FIRST
+    compile/execute blocks forever in a futex wait — a round-end bench
+    would then produce no artifact at all). Probe dispatch liveness in a
+    SUBPROCESS (a wedged child is killable; a wedged in-process dispatch
+    is not) via tools/chip_health.py --min-tflops 0, i.e. a liveness
+    gate, not a throughput gate — a throttled-but-alive chip passes. On
+    timeout/failure, emit one parseable error JSON line and exit 1 so
+    the caller records *why* there is no measurement. Skipped when the
+    platform hint says CPU (tests pin JAX_PLATFORMS=cpu) and via
+    --no-health-probe."""
+    import subprocess
+
+    hint = os.environ.get("JAX_PLATFORMS", "").lower()
+    if hint and all(p in ("cpu", "") for p in hint.split(",")):
+        return
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "chip_health.py")
+    if not os.path.exists(probe):
+        return
+    _progress(f"device liveness gate (budget {timeout_secs:.0f}s)")
+    try:
+        r = subprocess.run([sys.executable, probe, "--min-tflops", "0"],
+                           capture_output=True, text=True,
+                           timeout=timeout_secs)
+        if r.returncode == 0:
+            return
+        reason = (r.stdout.strip().splitlines() or ["no probe output"])[-1]
+    except subprocess.TimeoutExpired:
+        reason = f"probe exceeded {timeout_secs:.0f}s"
+    except OSError as e:  # noqa: BLE001 — still emit a parseable line
+        reason = f"probe failed to launch: {e}"
+    _emit("bench_error", 0.0, "error", 0.0,
+          error=f"device unresponsive: {reason}")
+    sys.exit(1)
+
+
 def flops_per_tile(res=TILE_RES, widths=resnet.WIDTHS,
                    blocks=resnet.BLOCKS_PER_STAGE):
     """Analytic MAC*2 count of one ResNet-26 tile forward."""
@@ -1064,7 +1102,14 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="config 1 only: run the W8A8 int8 serving "
                          "forward (ops/quant.py) instead of bf16")
+    ap.add_argument("--no-health-probe", action="store_true",
+                    help="skip the subprocess device-liveness gate that "
+                         "otherwise protects accelerator runs from a "
+                         "wedged device (listing answers, first dispatch "
+                         "blocks forever)")
     args = ap.parse_args()
+    if not args.no_health_probe:
+        _device_liveness_gate()
     if args.record_baseline is not None:
         record_baselines(args.record_baseline or None)
         return

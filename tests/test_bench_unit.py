@@ -90,3 +90,58 @@ def test_measured_fallback_memoizes(measured, monkeypatch):
     assert p1["baseline_source"] == p2["baseline_source"] == "measured"
     # measured provenance never claims a recorded-on stamp
     assert "baseline_recorded" not in p1
+
+
+def test_liveness_gate_skips_on_cpu_platform(monkeypatch):
+    """CPU hosts (tests, dev laptops) must not pay the subprocess probe."""
+    import subprocess
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("probe ran on a cpu host")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    bench._device_liveness_gate()  # returns silently
+
+
+def test_liveness_gate_emits_error_json_on_wedged_device(monkeypatch,
+                                                         capsys):
+    """The observed wedge mode: listing answers, first dispatch blocks
+    forever. The gate must emit ONE parseable error line and exit 1
+    instead of hanging the round-end bench."""
+    import subprocess
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+    def timed_out(cmd, **k):
+        raise subprocess.TimeoutExpired(cmd, k.get("timeout", 0))
+
+    monkeypatch.setattr(subprocess, "run", timed_out)
+    with pytest.raises(SystemExit) as ei:
+        bench._device_liveness_gate(timeout_secs=7.0)
+    assert ei.value.code == 1
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "bench_error"
+    assert rec["value"] == 0
+    assert "unresponsive" in rec["error"] and "7s" in rec["error"]
+
+
+def test_liveness_gate_reports_probe_verdict_on_unhealthy(monkeypatch,
+                                                          capsys):
+    """A probe that RETURNS unhealthy (rc 1) surfaces its last JSON line
+    as the reason."""
+    import subprocess
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+    class R:
+        returncode = 1
+        stdout = '{"healthy": false, "stage": "listed"}\n'
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    with pytest.raises(SystemExit):
+        bench._device_liveness_gate(timeout_secs=7.0)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert '"stage": "listed"' in rec["error"]
