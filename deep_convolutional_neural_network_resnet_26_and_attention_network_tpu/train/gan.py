@@ -442,6 +442,18 @@ def build_argparser():
                         "backward (master params, Adam state, loss terms "
                         "and the GP norm stay f32). f32 is the reference-"
                         "parity default; bf16 taps the MXU's 4x bf16 rate")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="write the 5-part checkpoint (and EMA sample "
+                        "grid) every N epochs (default 1 = the "
+                        "reference's per-epoch cadence, train.py:166-"
+                        "218). The full-width checkpoint is a "
+                        "device-to-host fetch + ~600 MB serialize; on a "
+                        "high-latency host link that write gates the "
+                        "NEXT epoch's submit (the async writer keeps at "
+                        "most one write in flight), so N>1 removes it "
+                        "from the epoch critical path. The final epoch "
+                        "and a preemption (SIGTERM) stop are ALWAYS "
+                        "written, so --ckpt resume keeps working")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint every G/D progression block "
                         "(jax.checkpoint); measured on v5e: does NOT "
@@ -487,6 +499,14 @@ def build_argparser():
 
 def train_gan(args):
     import random as py_random
+
+    # normalize for in-process callers that build a partial Namespace;
+    # validate before any dataset/device work
+    _ce = getattr(args, "ckpt_every", None)
+    args.ckpt_every = 1 if _ce is None else _ce
+    if args.ckpt_every < 1:
+        raise RuntimeError(
+            f"--ckpt_every must be >= 1, got {args.ckpt_every}")
 
     # per-epoch streams are derived inside the epoch loop (bit-exact
     # resume); these module-scope names are (re)bound there
@@ -763,19 +783,29 @@ def train_gan(args):
                   f"alpha {alpha:.4f}; {time.time() - t0:.1f}s")
 
             # EMA sample grid + 5-part checkpoint (reference: train.py:166-218)
+            # The split happens every epoch even when the grid is skipped so
+            # --ckpt_every does not perturb any key stream (training keys are
+            # re-derived per epoch from (seed, epoch) regardless).
             rng, k_s, k_n = jax.random.split(rng, 3)
-            zs = jax.random.normal(k_s, (1, min(16, batch), args.code_size))
-            noise = sg.make_noise(k_n, zs.shape[1], step)
-            imgs = sg.apply_styled_generator(
-                g_running, zs, noise, step=step, alpha=1.0, width_mult=width)
-            save_image_grid(imgs, os.path.join(
-                sample_dir, f"e{epoch}_gen.png"), nrow=4)
-            ckpt_writer.submit(
-                save_gan_checkpoint,
-                os.path.join(ckpt_dir, f"train_step-{epoch}.model"),
-                params_g, params_d, opt_g, opt_d, g_running)
-            if latch.stop_requested():
-                # this epoch's 5-part checkpoint is already submitted; the
+            stopping = latch.stop_requested()
+            due = ((epoch + 1) % args.ckpt_every == 0
+                   or epoch == args.epochs - 1 or stopping)
+            if due:
+                zs = jax.random.normal(k_s,
+                                       (1, min(16, batch), args.code_size))
+                noise = sg.make_noise(k_n, zs.shape[1], step)
+                imgs = sg.apply_styled_generator(
+                    g_running, zs, noise, step=step, alpha=1.0,
+                    width_mult=width)
+                save_image_grid(imgs, os.path.join(
+                    sample_dir, f"e{epoch}_gen.png"), nrow=4)
+                ckpt_writer.submit(
+                    save_gan_checkpoint,
+                    os.path.join(ckpt_dir, f"train_step-{epoch}.model"),
+                    params_g, params_d, opt_g, opt_d, g_running)
+            if stopping:
+                # this epoch's 5-part checkpoint is already submitted (a
+                # preemption stop forces `due` above even off-cadence); the
                 # wait() below makes it durable before the clean exit
                 print(f"train: preempted — stopped after epoch {epoch}; "
                       f"resume with --ckpt ...train_step-{epoch}.model "

@@ -959,3 +959,78 @@ def test_g_step_ema_warmup_schedule():
         np.testing.assert_allclose(
             np.asarray(a), eff2 * np.asarray(e) + (1 - eff2) * np.asarray(n),
             rtol=1e-5, atol=1e-6)
+
+
+def test_ckpt_every_cadence_and_final_epoch(image_dir, tmp_path):
+    """--ckpt_every N writes the 5-part checkpoint (and sample grid) only
+    on the cadence, but ALWAYS writes the final epoch — the full-width
+    checkpoint's D2H fetch + serialize gates the next epoch's submit on
+    high-latency host links, so sparse cadence takes it off the epoch
+    critical path without losing the resume anchor."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    out = str(tmp_path / "gan_out")
+    args = gan.build_argparser().parse_args([
+        "--data_dir", image_dir, "--output_dir", out,
+        "--epochs", "5", "--step_every", "3", "--init_size", "4",
+        "--max_size", "8", "--width_mult", str(WM), "--code_size", "32",
+        "--batch_override", "4", "--max_batches", "2", "--phase", "8",
+        "--ckpt_every", "2",
+    ])
+    gan.train_gan(args)
+    ckpt = os.path.join(out, "checkpoint")
+    written = sorted(os.listdir(ckpt))
+    # cadence epochs 1, 3 ((e+1) % 2 == 0) plus the forced final epoch 4
+    assert written == ["train_step-1.model", "train_step-3.model",
+                       "train_step-4.model"], written
+    grids = sorted(os.listdir(os.path.join(out, "sample")))
+    assert grids == ["e1_gen.png", "e3_gen.png", "e4_gen.png"], grids
+
+
+def test_ckpt_every_validation():
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    args = gan.build_argparser().parse_args([
+        "--data_dir", "/nonexistent", "--output_dir", "/tmp/x",
+        "--ckpt_every", "0",
+    ])
+    with pytest.raises(RuntimeError, match="ckpt_every"):
+        gan.train_gan(args)
+
+
+def test_ckpt_every_preemption_stop_writes_off_cadence(image_dir, tmp_path,
+                                                       monkeypatch):
+    """A preemption stop forces the 5-part checkpoint even when the epoch
+    is off the --ckpt_every cadence — the resume anchor the SIGTERM
+    contract promises must exist."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    class FakeLatch:
+        def install(self):
+            return self
+
+        def stop_requested(self):
+            return True  # preempted from the very first epoch boundary
+
+        def restore(self):
+            pass
+
+    monkeypatch.setattr(gan, "PreemptionLatch", FakeLatch)
+    out = str(tmp_path / "gan_out")
+    args = gan.build_argparser().parse_args([
+        "--data_dir", image_dir, "--output_dir", out,
+        "--epochs", "5", "--step_every", "3", "--init_size", "4",
+        "--max_size", "8", "--width_mult", str(WM), "--code_size", "32",
+        "--batch_override", "4", "--max_batches", "2", "--phase", "8",
+        "--ckpt_every", "100",
+    ])
+    gan.train_gan(args)
+    # epoch 0 is off-cadence ((0+1) % 100 != 0) but the stop forces it
+    assert sorted(os.listdir(os.path.join(out, "checkpoint"))) == \
+        ["train_step-0.model"]

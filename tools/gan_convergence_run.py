@@ -204,6 +204,12 @@ def main():
                    "--batch_override", str(args.batch),
                    "--grad_accum", str(args.grad_accum),
                    "--ema_decay", str(args.ema_decay),
+                   # checkpoint only the pre-transition epochs + final
+                   # (cadence == step_every ends each resolution phase on
+                   # a written epoch): the full-width 5-part checkpoint's
+                   # D2H fetch + serialize otherwise gates EVERY epoch on
+                   # the tunnel host (~60-100 s/epoch of pure overhead)
+                   "--ckpt_every", str(step_every),
                    "--width_mult", str(width), "--seed", "1"]
                   + (["--ema_warmup"] if args.ema_warmup else []))
     wall = time.time() - t0
