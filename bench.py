@@ -156,18 +156,27 @@ def _progress(msg: str):
           flush=True)
 
 
-def _device_liveness_gate(timeout_secs: float = 420.0) -> None:
+def _device_liveness_gate(timeout_secs: float = 900.0) -> None:
     """Refuse to hang on a wedged accelerator (observed failure mode on
     the tunnel device: `jax.devices()` answers instantly while the FIRST
     compile/execute blocks forever in a futex wait — a round-end bench
     would then produce no artifact at all). Probe dispatch liveness in a
     SUBPROCESS (a wedged child is killable; a wedged in-process dispatch
     is not) via tools/chip_health.py --min-tflops 0, i.e. a liveness
-    gate, not a throughput gate — a throttled-but-alive chip passes. On
-    timeout/failure, emit one parseable error JSON line and exit 1 so
-    the caller records *why* there is no measurement. Skipped when the
-    platform hint says CPU (tests pin JAX_PLATFORMS=cpu) and via
-    --no-health-probe."""
+    gate, not a throughput gate — a throttled-but-alive chip passes.
+
+    The tunnel also has INTERMITTENT stalls, not just permanent wedges:
+    a measured episode had a scalar D2H readback block 505 s and then
+    complete, with compiles and dispatches fast on either side. One
+    short probe would misread that as a dead chip and forfeit the
+    round's measurement, so the gate RETRIES until ``timeout_secs`` is
+    spent, passing each attempt's remaining budget down to the probe's
+    own watchdog (chip_health's default 120 s budget is below both the
+    240 s worst-case first compile and the measured stall). Only after
+    the full budget fails does it emit one parseable error JSON line
+    and exit 1 so the caller records *why* there is no measurement.
+    Skipped when the platform hint says CPU (tests pin
+    JAX_PLATFORMS=cpu) and via --no-health-probe."""
     import subprocess
 
     hint = os.environ.get("JAX_PLATFORMS", "").lower()
@@ -177,20 +186,36 @@ def _device_liveness_gate(timeout_secs: float = 420.0) -> None:
                          "tools", "chip_health.py")
     if not os.path.exists(probe):
         return
-    _progress(f"device liveness gate (budget {timeout_secs:.0f}s)")
-    try:
-        r = subprocess.run([sys.executable, probe, "--min-tflops", "0"],
-                           capture_output=True, text=True,
-                           timeout=timeout_secs)
-        if r.returncode == 0:
-            return
-        reason = (r.stdout.strip().splitlines() or ["no probe output"])[-1]
-    except subprocess.TimeoutExpired:
-        reason = f"probe exceeded {timeout_secs:.0f}s"
-    except OSError as e:  # noqa: BLE001 — still emit a parseable line
-        reason = f"probe failed to launch: {e}"
+    deadline = time.time() + timeout_secs
+    attempt = 0
+    reason = "no probe output"
+    while True:
+        remaining = deadline - time.time()
+        if attempt and remaining < 30:  # always probe at least once
+            break
+        attempt += 1
+        budget = min(max(remaining, 5.0), 420.0)
+        _progress(f"device liveness gate attempt {attempt} "
+                  f"(budget {budget:.0f}s of {remaining:.0f}s left)")
+        try:
+            r = subprocess.run(
+                [sys.executable, probe, "--min-tflops", "0",
+                 "--budget", str(budget)],
+                capture_output=True, text=True, timeout=budget + 60)
+            if r.returncode == 0:
+                return
+            reason = (r.stdout.strip().splitlines()
+                      or ["no probe output"])[-1]
+        except subprocess.TimeoutExpired:
+            reason = f"probe exceeded {budget:.0f}s"
+        except OSError as e:  # noqa: BLE001 — still emit a parseable line
+            reason = f"probe failed to launch: {e}"
+            break
+        if deadline - time.time() > 60:
+            time.sleep(30)  # let a transient stall clear before retrying
     _emit("bench_error", 0.0, "error", 0.0,
-          error=f"device unresponsive: {reason}")
+          error=f"device unresponsive after {attempt} probe attempts "
+                f"over {timeout_secs:.0f}s: {reason}")
     sys.exit(1)
 
 

@@ -145,3 +145,30 @@ def test_liveness_gate_reports_probe_verdict_on_unhealthy(monkeypatch,
         bench._device_liveness_gate(timeout_secs=7.0)
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert '"stage": "listed"' in rec["error"]
+
+
+def test_liveness_gate_retries_through_transient_stall(monkeypatch):
+    """The tunnel has INTERMITTENT stalls (a measured 505 s D2H readback
+    that then completed): a probe failure must be retried while budget
+    remains, so a transient episode does not forfeit the round's
+    measurement."""
+    import subprocess
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = []
+
+    class R:
+        def __init__(self, rc):
+            self.returncode = rc
+            self.stdout = '{"healthy": false, "stage": "listed"}\n'
+
+    def run(cmd, **k):
+        calls.append(cmd)
+        return R(1 if len(calls) == 1 else 0)
+
+    monkeypatch.setattr(subprocess, "run", run)
+    bench._device_liveness_gate(timeout_secs=600.0)  # returns silently
+    assert len(calls) == 2
+    # each attempt passes its remaining budget down to the probe watchdog
+    assert "--budget" in calls[0]
