@@ -507,6 +507,11 @@ def train_gan(args):
     if args.ckpt_every < 1:
         raise RuntimeError(
             f"--ckpt_every must be >= 1, got {args.ckpt_every}")
+    _ed = getattr(args, "ema_decay", 0.999)
+    if not 0.0 <= _ed < 1.0:
+        # fail at argument time, not minutes later when epoch 0 lazily
+        # builds its g_step (make_g_step revalidates for direct callers)
+        raise RuntimeError(f"--ema_decay must be in [0, 1), got {_ed}")
 
     # per-epoch streams are derived inside the epoch loop (bit-exact
     # resume); these module-scope names are (re)bound there

@@ -172,3 +172,22 @@ def test_liveness_gate_retries_through_transient_stall(monkeypatch):
     assert len(calls) == 2
     # each attempt passes its remaining budget down to the probe watchdog
     assert "--budget" in calls[0]
+
+
+def test_liveness_gate_error_references_last_committed_sweep(monkeypatch,
+                                                             capsys):
+    """When the gate gives up, the error line must point at the newest
+    committed BENCH_all_* sweep so a round ending inside a tunnel outage
+    still references a real measurement near HEAD."""
+    import subprocess
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+    def timed_out(cmd, **k):
+        raise subprocess.TimeoutExpired(cmd, k.get("timeout", 0))
+
+    monkeypatch.setattr(subprocess, "run", timed_out)
+    with pytest.raises(SystemExit):
+        bench._device_liveness_gate(timeout_secs=7.0)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["last_committed_sweep"].startswith("BENCH_all_")

@@ -48,7 +48,10 @@ def full_width_builder(tmp_path_factory):
     """One synthetic-tissue slide cached at roi 100 (~100 tiles) plus a
     full-width random init."""
     tmp = tmp_path_factory.mktemp("bf16_contract")
-    os.environ["CACHE_DIR"] = str(tmp)
+    # module-scoped fixtures can't use the function-scoped monkeypatch —
+    # build one explicitly so CACHE_DIR never leaks into later modules
+    mp = pytest.MonkeyPatch()
+    mp.setenv("CACHE_DIR", str(tmp))
     rng = np.random.default_rng(0)
     base = np.array([150, 60, 170], np.int16)
     img = np.clip(base + rng.integers(-50, 50, (1100, 1100, 3)), 0,
@@ -59,7 +62,8 @@ def full_width_builder(tmp_path_factory):
     assert builder.getsize() >= 50
     cfg = amil.MILConfig(class_weights=(1.0, 1.0, 1.0))
     params = amil.init_attention_mil(jax.random.PRNGKey(0), cfg)
-    return builder, cfg, params
+    yield builder, cfg, params
+    mp.undo()
 
 
 def _confidence_scaled(params, scale: float):

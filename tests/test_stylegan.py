@@ -1034,3 +1034,19 @@ def test_ckpt_every_preemption_stop_writes_off_cadence(image_dir, tmp_path,
     # epoch 0 is off-cadence ((0+1) % 100 != 0) but the stop forces it
     assert sorted(os.listdir(os.path.join(out, "checkpoint"))) == \
         ["train_step-0.model"]
+
+
+def test_ema_decay_validated_before_dataset_work():
+    """A bad --ema_decay must fail at argument time, not minutes later
+    when epoch 0 lazily builds its g_step after the store open and any
+    checkpoint restore."""
+    from deep_convolutional_neural_network_resnet_26_and_attention_network_tpu.train import (
+        gan,
+    )
+
+    args = gan.build_argparser().parse_args([
+        "--data_dir", "/nonexistent", "--output_dir", "/tmp/x",
+        "--ema_decay", "1.0",
+    ])
+    with pytest.raises(RuntimeError, match="ema_decay"):
+        gan.train_gan(args)

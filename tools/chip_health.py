@@ -33,6 +33,13 @@ def _probe(q):
     devs = jax.devices()
     q.put(("devices", str(devs[0]), time.perf_counter() - t0))
 
+    if devs[0].platform == "cpu":
+        # CPU-only host (bench's documented toy-shape fallback): there is
+        # no tunnel/accelerator to wedge, and the chained-4096^3 compute
+        # probe would take minutes of host CPU — report trivially healthy
+        q.put(("cpu_host", True, None))
+        return
+
     a = jax.random.normal(jax.random.PRNGKey(0), (256, 256), jnp.bfloat16)
     f = jax.jit(lambda a: a @ a)
     jax.block_until_ready(f(a))
@@ -99,6 +106,9 @@ def main():
         if name == "devices":
             out.update(stage="listed", device=val,
                        list_secs=round(extra, 2))
+        elif name == "cpu_host":
+            out.update(stage="cpu_host", healthy=True)
+            break
         elif name == "dispatch_ms":
             out.update(stage="dispatch", dispatch_ms=round(val, 1))
         elif name == "marginal_tflops":

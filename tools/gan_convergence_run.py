@@ -129,7 +129,7 @@ def main():
                     help="g_running decay (train.gan --ema_decay). The "
                          "reference's 0.999 keeps 0.999^t of the INITIAL "
                          "random generator in the EMA — a ~1k-step "
-                         "convergence run retains ~38% init mass, so "
+                         "convergence run retains ~38%% init mass, so "
                          "judge g_running with 0.99 here or expect it to "
                          "trail the live generator")
     ap.add_argument("--ema_warmup", action="store_true",
